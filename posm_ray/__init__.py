@@ -1,0 +1,24 @@
+"""posm_ray — a Ray-Data-native spatial-join + tiling engine.
+
+A from-scratch rebuild of the query/data-processing capabilities of
+nyaruka/posm (OSM admin-boundary extraction: hierarchical point-in-polygon
+joins, validity gating, dissolve/simplify, partition-by-level outputs),
+generalized to a spatial-join + tiling engine over Parquet web-page tables:
+
+- hierarchical cell index (H3-style res 0-15 grid, S2-style bbox covering)
+- point-in-polygon joins against broadcast boundary tables (ray-crossing
+  kernel + per-actor grid index, the Ray analogue of posm's rtree+prepared
+  geometry state, reference extract.py:75-77,152-158)
+- kNN (haversine, per-cell-shard with halo), ANN over embeddings
+- raster<->vector tile aggregation (groupby cell with pre-aggregation)
+- training-data ops: exact/MinHash-LSH/SimHash dedup, language id,
+  quality scoring, token counts, fingerprints
+- per-partition lineage manifests for resumable runs
+
+Everything is expressed as ray.data.Dataset pipelines over zero-copy Arrow
+batches; stateful stages are actor pools via map_batches(Cls, concurrency=N).
+No module in this package calls ray.init()/ray.shutdown() — sessions are
+owned by bench.py / the test fixture / the driver.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,108 @@
+"""Hash families for dedup / similarity (training-data ops).
+
+All deterministic (fixed parameter tables derived from a seed constant —
+no runtime RNG), vectorized over batches with numpy where the shape allows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_SEED = 42
+
+
+def _hash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k deterministic (a, b) pairs for universal hashing ax+b mod p."""
+    rng = np.random.RandomState(_SEED)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def shingles(text: str, width: int = 5) -> np.ndarray:
+    """Word w-shingles hashed to int64 (blake2b 8-byte, stable across runs)."""
+    words = text.split()
+    if len(words) < width:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + width]) for i in range(len(words) - width + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+    return out.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def char_ngrams(text: str, n: int = 5) -> set[int]:
+    """Character n-gram hash set (for n-gram Jaccard)."""
+    if len(text) < n:
+        return {hash_bytes(text.encode("utf-8"))}
+    return {hash_bytes(text[i : i + n].encode("utf-8")) for i in range(len(text) - n + 1)}
+
+
+def hash_bytes(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """num_perm minhash values via universal hashing over the shingle set.
+    Vectorized (num_perm x n_shingles) in one numpy broadcast."""
+    a, b = _hash_params(num_perm)
+    if len(shingle_hashes) == 0:
+        return np.full(num_perm, _MERSENNE, dtype=np.int64)
+    x = shingle_hashes.astype(np.object_)  # python ints: no overflow in a*x
+    vals = (a[:, None].astype(np.object_) * x[None, :] + b[:, None].astype(np.object_)) % _MERSENNE
+    return vals.min(axis=1).astype(np.int64)
+
+
+def minhash_signature_batch(texts: list[str], num_perm: int = 64,
+                            shingle_width: int = 5) -> np.ndarray:
+    """(len(texts), num_perm) int64 signature matrix."""
+    out = np.empty((len(texts), num_perm), dtype=np.int64)
+    for i, t in enumerate(texts):
+        out[i] = minhash_signature(shingles(t, shingle_width), num_perm)
+    return out
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
+    """Split a signature into ``bands`` bands; key = (band_id, band_hash).
+    Docs sharing any band key are near-dup candidates."""
+    num_perm = len(sig)
+    rows = num_perm // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows]
+        h = hash_bytes(chunk.tobytes())
+        keys.append((b, h))
+    return keys
+
+
+def simhash(text: str, bits: int = 64) -> int:
+    """SimHash over word-shingle hashes: weighted bit-vote fingerprint."""
+    hs = shingles(text, width=2)
+    if len(hs) == 0:
+        return 0
+    votes = np.zeros(bits, dtype=np.int64)
+    arr = hs.astype(np.uint64)
+    for bit in range(bits):
+        bitvals = (arr >> np.uint64(bit)) & np.uint64(1)
+        votes[bit] = int(bitvals.sum()) * 2 - len(arr)
+    out = 0
+    for bit in range(bits):
+        if votes[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

@@ -1,0 +1,224 @@
+"""Synthetic admin-boundary fixtures (FIXTURES.md §2, nepal-shaped).
+
+Two tables, both deterministic (no RNG needed — closed-form from indices):
+
+1. ``clean_boundaries()`` — the post-extraction hierarchy used by the PIP
+   join: 3 countries x 4 states x 4 counties as axis-aligned rectangles whose
+   every edge coordinate ends in ...0.00005, so no synthetic document point
+   (4-decimal coords) can ever lie on an edge — PIP results are therefore
+   identical between the ray-crossing kernel and the DuckDB bbox oracle.
+   States are inset 2 deg inside their country and counties 1 deg inside
+   their state, so marginal points have a country but no state (exercises
+   posm's drop-if-no-parent semantics, extract.py:211-243).
+
+2. ``raw_boundaries()`` — the messy pre-extraction input for the
+   posm-semantics boundary pipeline: layer-tagged raw ids (M1,
+   exposm/utils.py:13-35), missing name_en (M2), lowercase iso (M3), invalid
+   geometries with reference reason strings (M4, exposm/utils.py:51-70),
+   non-administrative boundary tags (M5, extract.py:128-137), admin_level
+   strings incl. per-country mapping overrides (M6, admin_mapping.yaml).
+
+Schema follows the reference AdminLevelWriter (exposm/writer.py:125-147).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import wkb
+
+OFF = 0.00005  # every boundary coord ends in .00005 (see module docstring)
+
+# (key, name, iso, minx, miny) — 60x60 deg countries
+_COUNTRIES = [
+    (1, "Aland", "AA", -170.0 + OFF, -70.0 + OFF),
+    (2, "Bestan", "BB", -90.0 + OFF, -60.0 + OFF),
+    (3, "Cestan", "CC", 60.0 + OFF, 0.0 + OFF),  # contains the mega-cell point
+]
+COUNTRY_SIZE = 60.0
+STATE_INSET = 2.0
+COUNTY_INSET = 1.0
+
+# per-country admin-level mapping (admin_mapping.yaml analogue: default
+# {admin_level_1: 4, admin_level_2: 6} with an override for country 2)
+ADMIN_MAPPING_DEFAULT = {"admin_level_1": "4", "admin_level_2": "6"}
+ADMIN_MAPPING_OVERRIDES = {"R2000": {"admin_level_1": "3", "admin_level_2": "5"}}
+
+
+def country_id(k: int) -> str:
+    return f"R{k}000"
+
+
+def state_id(k: int, s: int) -> str:
+    return f"R{k}{s + 1}00"
+
+
+def county_id(k: int, s: int, c: int) -> str:
+    return f"R{k}{s + 1}{c + 1}0"
+
+
+def _rect(minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:
+    return np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]],
+        dtype=np.float64,
+    )
+
+
+def _quarters(minx, miny, maxx, maxy, inset):
+    x0, y0, x1, y1 = minx + inset, miny + inset, maxx - inset, maxy - inset
+    hw, hh = (x1 - x0) / 2.0, (y1 - y0) / 2.0
+    out = []
+    for qy in range(2):
+        for qx in range(2):
+            out.append((x0 + qx * hw, y0 + qy * hh, x0 + (qx + 1) * hw, y0 + (qy + 1) * hh))
+    return out  # index s = qy*2 + qx
+
+
+def iter_clean() -> list[dict]:
+    """All 63 boundary rows as dicts with bbox + ring, hierarchy linked via
+    ``is_in`` (reference writer.py:125-147 field; proc_functions.sql:337-362
+    ancestry joins)."""
+    rows: list[dict] = []
+    for k, cname, iso, cx, cy in _COUNTRIES:
+        cbox = (cx, cy, cx + COUNTRY_SIZE, cy + COUNTRY_SIZE)
+        rows.append(dict(osm_id=country_id(k), name=f"{cname} Kingdom",
+                         name_en=cname, adminlevel=0, iso3166=iso, is_in=None,
+                         bbox=cbox))
+        for s, sbox in enumerate(_quarters(*cbox, STATE_INSET)):
+            rows.append(dict(osm_id=state_id(k, s), name=f"{cname} State {s}",
+                             name_en=f"{cname}-S{s}", adminlevel=1, iso3166=None,
+                             is_in=country_id(k), bbox=sbox))
+            for c, dbox in enumerate(_quarters(*sbox, COUNTY_INSET)):
+                rows.append(dict(osm_id=county_id(k, s, c),
+                                 name=f"{cname} County {s}.{c}",
+                                 name_en=f"{cname}-S{s}-C{c}", adminlevel=2,
+                                 iso3166=None, is_in=state_id(k, s), bbox=dbox))
+    return rows
+
+
+def clean_boundaries() -> pa.Table:
+    """Arrow boundaries table (geometry as WKB MultiPolygon rectangles)."""
+    rows = iter_clean()
+    return pa.table(
+        {
+            "osm_id": pa.array([r["osm_id"] for r in rows]),
+            "name": pa.array([r["name"] for r in rows]),
+            "name_en": pa.array([r["name_en"] for r in rows]),
+            "adminlevel": pa.array([r["adminlevel"] for r in rows], pa.int32()),
+            "iso3166": pa.array([r["iso3166"] for r in rows]),
+            "is_in": pa.array([r["is_in"] for r in rows]),
+            "geom_wkb": pa.array(
+                [wkb.rings_to_wkb([_rect(*r["bbox"])]) for r in rows],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+def boundaries_values_sql(level: int) -> str:
+    """DuckDB VALUES clause ``(osm_id, parent_id, minx, miny, maxx, maxy)``
+    for one admin level — inlined into oracle SQL (the boundary table is tiny
+    and not among the driver's pre-registered views)."""
+    rows = [r for r in iter_clean() if r["adminlevel"] == level]
+    vals = ", ".join(
+        "('{}', {}, {!r}, {!r}, {!r}, {!r})".format(
+            r["osm_id"],
+            "NULL" if r["is_in"] is None else f"'{r['is_in']}'",
+            *r["bbox"],
+        )
+        for r in rows
+    )
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# messy raw fixture for the posm-semantics boundary pipeline
+# ---------------------------------------------------------------------------
+
+_BOWTIE = np.array(
+    [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]], dtype=np.float64
+)
+_TINY = np.array([[5.0, 5.0], [6.0, 5.0], [5.0, 5.0]], dtype=np.float64)
+
+
+def raw_boundaries() -> pa.Table:
+    """Pre-extraction boundary features, layer-tagged like the OSM reader
+    output (exposm/reader.py:37-73): columns
+    (layer, osm_id_raw, osm_way_id_raw, name, name_en, admin_level:string,
+    boundary, iso3166, geom_wkb). Deterministic mutations of the clean set::
+
+      - id prefixes expected per M1: multipolygons->R (or W if only way id)
+      - every 7th state/county row loses name_en (M2 coalesce)
+      - country isos arrive lowercase (M3 upper)
+      - appended rows: bowtie (Self-intersection), tiny ring (Too few
+        points), unparseable WKB (BONKERS!), maritime + historic tag rows,
+        a way-only multipolygon, a row with no id at all, and decoy rows at
+        admin_level '7' (dropped by the M6 mapping predicate)
+    """
+    rows = []
+    for r in iter_clean():
+        level = r["adminlevel"]
+        if level == 0:
+            admin_level = "2"
+        else:
+            key = f"admin_level_{level}"
+            mapping = ADMIN_MAPPING_OVERRIDES.get(
+                country_id(int(r["osm_id"][1])), ADMIN_MAPPING_DEFAULT
+            )
+            admin_level = mapping[key]
+        n = int(r["osm_id"][1:])
+        name_en = r["name_en"]
+        if level > 0 and (n // 10) % 7 == 0:
+            name_en = None
+        iso = r["iso3166"].lower() if r["iso3166"] else None
+        rows.append(dict(layer="multipolygons", osm_id_raw=r["osm_id"][1:],
+                         osm_way_id_raw=None, name=r["name"], name_en=name_en,
+                         admin_level=admin_level, boundary="administrative",
+                         iso3166=iso,
+                         geom_wkb=wkb.rings_to_wkb([_rect(*r["bbox"])])))
+    # --- reject / edge rows (deterministic) ---
+    rows.append(dict(layer="multipolygons", osm_id_raw="90001", osm_way_id_raw=None,
+                     name="Bowtie Land", name_en="Bowtie", admin_level="2",
+                     boundary="administrative", iso3166="XX",
+                     geom_wkb=wkb.rings_to_wkb([_BOWTIE])))
+    rows.append(dict(layer="multipolygons", osm_id_raw="90002", osm_way_id_raw=None,
+                     name="Tiny Land", name_en="Tiny", admin_level="2",
+                     boundary="administrative", iso3166="XY",
+                     geom_wkb=wkb.rings_to_wkb([_TINY])))
+    rows.append(dict(layer="multipolygons", osm_id_raw="90003", osm_way_id_raw=None,
+                     name="Bonkers Land", name_en="Bonkers", admin_level="2",
+                     boundary="administrative", iso3166="XZ",
+                     geom_wkb=b"\x01\x99\x00\x00\x00garbage"))
+    rows.append(dict(layer="multipolygons", osm_id_raw="90004", osm_way_id_raw=None,
+                     name="Maritime Zone", name_en="Maritime", admin_level="2",
+                     boundary="maritime", iso3166="XM",
+                     geom_wkb=wkb.rings_to_wkb([_rect(130.00005, 10.00005, 140.00005, 20.00005)])))
+    rows.append(dict(layer="multipolygons", osm_id_raw="90005", osm_way_id_raw=None,
+                     name="Old Empire", name_en="Historic", admin_level="2",
+                     boundary="historic", iso3166="XH",
+                     geom_wkb=wkb.rings_to_wkb([_rect(140.00005, 10.00005, 150.00005, 20.00005)])))
+    rows.append(dict(layer="multipolygons", osm_id_raw=None, osm_way_id_raw="90006",
+                     name="Wayland", name_en="Wayland", admin_level="2",
+                     boundary="administrative", iso3166="XW",
+                     geom_wkb=wkb.rings_to_wkb([_rect(150.00005, 10.00005, 160.00005, 20.00005)])))
+    rows.append(dict(layer="multipolygons", osm_id_raw=None, osm_way_id_raw=None,
+                     name="Nowhere", name_en="Nowhere", admin_level="2",
+                     boundary="administrative", iso3166="XN",
+                     geom_wkb=wkb.rings_to_wkb([_rect(160.00005, 10.00005, 170.00005, 20.00005)])))
+    # decoys inside country 1 at a level no mapping selects
+    rows.append(dict(layer="multipolygons", osm_id_raw="90007", osm_way_id_raw=None,
+                     name="Decoy District", name_en="Decoy", admin_level="7",
+                     boundary="administrative", iso3166=None,
+                     geom_wkb=wkb.rings_to_wkb([_rect(-169.0 + OFF, -69.0 + OFF, -168.0 + OFF, -68.0 + OFF)])))
+    # a nameless feature (M2: skipped with diagnostic)
+    rows.append(dict(layer="multipolygons", osm_id_raw="90008", osm_way_id_raw=None,
+                     name=None, name_en=None, admin_level="2",
+                     boundary="administrative", iso3166=None,
+                     geom_wkb=wkb.rings_to_wkb([_rect(-179.0 + OFF, 70.0 + OFF, -178.0 + OFF, 71.0 + OFF)])))
+    cols = ["layer", "osm_id_raw", "osm_way_id_raw", "name", "name_en",
+            "admin_level", "boundary", "iso3166", "geom_wkb"]
+    arrays = {c: pa.array([r[c] for r in rows],
+                          pa.binary() if c == "geom_wkb" else pa.string())
+              for c in cols}
+    return pa.table(arrays)

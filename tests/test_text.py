@@ -1,0 +1,173 @@
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from posm_ray.functions import hashing, ids, text
+from posm_ray.sources import synth
+
+
+def _docs_table(n=200):
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    return t.slice(0, n)
+
+
+class TestSynthExtraction:
+    def test_byte_identical_roundtrip(self):
+        """The per-row invariant: extracted text per url == source text,
+        byte for byte — including malformed pages (BASELINE.json)."""
+        pages = synth.pages_batch(_docs_table(300))
+        htmls = pages.column("html").to_pylist()
+        texts = pages.column("text").to_pylist()
+        for h, t in zip(htmls, texts):
+            assert text.extract_text(h) == t
+
+    def test_weird_chars_roundtrip(self):
+        tricky = 'a < b & "c" > d; <script>alert(1)</script> éने'
+        docs = pa.table({"doc_id": pa.array([3], pa.int64()),
+                         "text": pa.array([tricky]),
+                         "lang": pa.array(["en"])})
+        pages = synth.pages_batch(docs)
+        assert text.extract_text(pages.column("html")[0].as_py()) == tricky
+
+    def test_geocode_meta_roundtrip(self):
+        pages = synth.pages_batch(_docs_table(100))
+        doc_id = pages.column("doc_id").to_numpy()
+        lat = synth.derive_lat(doc_id)
+        lon = synth.derive_lon(doc_id)
+        for i, h in enumerate(pages.column("html").to_pylist()):
+            got = text.geocode_meta(h)
+            assert got == (lat[i], lon[i])
+
+    def test_skew_megacell(self):
+        doc_id = np.arange(100)
+        lat = synth.derive_lat(doc_id)
+        assert (lat[doc_id % 5 == 0] == synth.MEGA_LAT).all()
+        assert (np.abs(lat) <= 90).all()
+        lon = synth.derive_lon(doc_id)
+        assert (np.abs(lon) <= 180).all()
+
+    def test_fallback_extraction_no_article(self):
+        html = b"<html><body><p>Hello <b>world</b></p><script>x=1</script></body></html>"
+        assert text.extract_text(html) == "Hello world"
+
+    def test_sql_twins_match(self):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        q = con.execute(
+            f"SELECT doc_id, {synth.url_sql()} AS url, {synth.lat_sql()} AS lat, "
+            f"{synth.lon_sql()} AS lon, {synth.domain_sql()} AS domain, "
+            f"{synth.warc_ts_sql()} AS warc_ts FROM documents ORDER BY doc_id"
+        ).fetch_arrow_table()
+        doc_id = q.column("doc_id").to_numpy()
+        np.testing.assert_array_equal(
+            np.asarray(q.column("lat").to_numpy()), synth.derive_lat(doc_id))
+        np.testing.assert_array_equal(
+            np.asarray(q.column("lon").to_numpy()), synth.derive_lon(doc_id))
+        assert q.column("url").to_pylist() == synth.derive_url(doc_id)
+        assert q.column("domain").to_pylist() == synth.derive_domain(doc_id)
+        np.testing.assert_array_equal(
+            q.column("warc_ts").to_numpy().astype("datetime64[us]"),
+            synth.derive_warc_ts(doc_id))
+
+
+class TestTextAnalysis:
+    def test_geocode_text(self):
+        s = "Visit us at 27.7172, 85.3240 or -36.85, 174.76 (HQ)."
+        got = text.geocode_text(s)
+        assert (27.7172, 85.324) in got
+
+    def test_token_count_twin_sql(self):
+        import duckdb
+
+        samples = ["a b  c", "", "  ", "one", "x " * 50]
+        con = duckdb.connect()
+        con.register("t", pa.table({"s": samples}))
+        got = con.execute(
+            "SELECT len(list_filter(str_split(s, ' '), x -> x <> ''))::BIGINT AS n FROM t"
+        ).fetchnumpy()["n"]
+        expected = [text.token_count(s) for s in samples]
+        assert list(got) == expected
+
+    def test_lang_id(self):
+        assert text.lang_id("the cat and the dog is on the mat") == "en"
+        assert text.lang_id("le chat est sur la table avec les livres") == "fr"
+        assert text.lang_id("zzzz qqqq") == "und"
+
+    def test_quality_metrics(self):
+        m = text.quality_metrics("Ab1, c.")
+        assert m == {"n_chars": 7, "n_punct": 2, "n_upper": 1,
+                     "n_digit": 1, "n_spaces": 1}
+
+    def test_fingerprints(self):
+        assert text.fingerprint_md5("abc") == "900150983cd24fb0d6963f7d28e17f72"
+        a = text.rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+        b = text.rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+        assert a == b
+        assert text.rolling_fingerprint("short") == text.rolling_fingerprint("short")
+
+    def test_bpe_ish(self):
+        assert text.bpe_ish_token_count("hello world42!") == 4
+
+
+class TestHashing:
+    def test_minhash_similar_texts_agree_more(self):
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about databases " * 10
+        s1 = hashing.minhash_signature(hashing.shingles(base))
+        s2 = hashing.minhash_signature(hashing.shingles(near))
+        s3 = hashing.minhash_signature(hashing.shingles(far))
+        sim12 = (s1 == s2).mean()
+        sim13 = (s1 == s3).mean()
+        assert sim12 > sim13
+        # true Jaccard of the two shingle sets is ~0.3; minhash should be near
+        assert 0.15 < sim12 < 0.65
+        assert sim13 == 0.0
+
+    def test_minhash_deterministic(self):
+        s1 = hashing.minhash_signature_batch(["hello world foo bar baz"] * 2)
+        np.testing.assert_array_equal(s1[0], s1[1])
+
+    def test_lsh_band_keys_match_for_identical(self):
+        sig = hashing.minhash_signature(hashing.shingles("a b c d e f g h"))
+        k1 = hashing.lsh_band_keys(sig)
+        k2 = hashing.lsh_band_keys(sig.copy())
+        assert k1 == k2 and len(k1) == 16
+
+    def test_simhash_near(self):
+        a = hashing.simhash("the quick brown fox jumps over the lazy dog " * 5)
+        b = hashing.simhash("the quick brown fox jumps over the lazy cat " * 5)
+        c = hashing.simhash("astronomy telescope galaxy nebula quasar " * 5)
+        assert hashing.hamming64(a, b) < hashing.hamming64(a, c)
+
+    def test_jaccard(self):
+        assert hashing.jaccard({1, 2}, {1, 2}) == 1.0
+        assert hashing.jaccard({1, 2}, {3, 4}) == 0.0
+        assert hashing.jaccard(set(), set()) == 1.0
+
+
+class TestIds:
+    def test_prepare_osm_id(self):
+        layer = pa.array(["points", "lines", "multipolygons", "multipolygons",
+                          "multipolygons", "other_relations", "bogus"])
+        osm = pa.array(["1", "2", "3", None, None, "6", "7"])
+        way = pa.array([None, None, None, "4", None, None, None])
+        got = ids.prepare_osm_id(layer, osm, way)
+        assert got.to_pylist() == ["N1", "W2", "R3", "W4", None, "R6", None]
+
+    def test_coalesce_and_upper(self):
+        ne = pa.array([None, "En", None])
+        nm = pa.array(["Local", "Loc", None])
+        assert ids.coalesce_name(ne, nm).to_pylist() == ["Local", "En", None]
+        assert ids.iso_upper(pa.array(["np", None])).to_pylist() == ["NP", None]
+
+    def test_decode_utf8_escapes(self):
+        got = ids.decode_utf8_escapes([r"caf\xc3\xa9", None, "plain"])
+        assert got == ["café", None, "plain"]
