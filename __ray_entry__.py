@@ -3,14 +3,16 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in posm_ray) calls ray.init()/ray.shutdown().
+
+Float determinism: every query whose values are hash-compared either
+produces integers/strings or doubles derived with the *identical IEEE
+operation order* in both the Ray kernel and the SQL twin (see
+posm_ray/sources/synth.py and posm_ray/pipelines/relational.py docstrings).
 """
 
 from __future__ import annotations
@@ -18,27 +20,262 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from posm_ray import cells
+from posm_ray.pipelines import flagship, relational, textops
+from posm_ray.sources import boundaries as bsrc
+from posm_ray.sources import synth
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages -> extract ->
+    PIP join -> tile rollup (small result, stable schema)."""
+    return flagship.flagship("/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# spatial queries (flagship path)
+# ---------------------------------------------------------------------------
+
+_JOIN_COLS = ["url", "doc_id", "warc_ts", "lang", "text", "lat", "lon",
+              "cell_r7", "cell_r8", "cell_r9",
+              "level0_id", "level1_id", "level2_id"]
+
+
+def _q_join_rows(sf_dir: str):
+    ds = flagship.join_rows(sf_dir)
+    return ds.select_columns(_JOIN_COLS)
+
+
+def _join_rows_sql() -> str:
+    """Pages derivation + bbox PIP joins against the inlined boundary
+    fixture. Boundary polygons are axis-aligned rectangles whose edges end
+    in ...0.00005 while document coords have 4 decimals, so bbox containment
+    == exact PIP (posm_ray/sources/boundaries.py docstring)."""
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         {synth.url_sql()} AS url,
+         {synth.warc_ts_sql()} AS warc_ts,
+         lang, text,
+         {synth.lat_sql()} AS lat,
+         {synth.lon_sql()} AS lon
+  FROM documents
+),
+b0 AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(0)})
+       AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
+b1 AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(1)})
+       AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
+b2 AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(2)})
+       AS t(osm_id, parent_id, minx, miny, maxx, maxy))
+SELECT p.url, p.doc_id, p.warc_ts, p.lang, p.text, p.lat, p.lon,
+       {cells.cell_sql('p.lat', 'p.lon', 7)} AS cell_r7,
+       {cells.cell_sql('p.lat', 'p.lon', 8)} AS cell_r8,
+       {cells.cell_sql('p.lat', 'p.lon', 9)} AS cell_r9,
+       b0.osm_id AS level0_id,
+       b1.osm_id AS level1_id,
+       b2.osm_id AS level2_id
+FROM pages p
+JOIN b0 ON p.lon > b0.minx AND p.lon < b0.maxx
+       AND p.lat > b0.miny AND p.lat < b0.maxy
+LEFT JOIN b1 ON p.lon > b1.minx AND p.lon < b1.maxx
+            AND p.lat > b1.miny AND p.lat < b1.maxy
+            AND b1.parent_id = b0.osm_id
+LEFT JOIN b2 ON p.lon > b2.minx AND p.lon < b2.maxx
+            AND p.lat > b2.miny AND p.lat < b2.maxy
+            AND b2.parent_id = b1.osm_id
+"""
+
+
+def _q_tiles(sf_dir: str):
+    return flagship.tiles(sf_dir)
+
+
+def _tiles_sql() -> str:
+    return f"""
+WITH joined AS ({_join_rows_sql()})
+SELECT cell_r7 AS cell,
+       COUNT(*) AS doc_count,
+       COUNT(DISTINCT doc_id % {synth.N_DOMAINS}) AS distinct_domains
+FROM joined GROUP BY cell_r7
+"""
+
+
+def _q_cell_assign(sf_dir: str):
+    """Cell assignment alone (no PIP): every geocoded page with its r7-r9
+    cells and the r7 parent of its r9 cell (hierarchy containment check)."""
+    import pyarrow as pa
+
+    from posm_ray.stages import extract as extract_stage
+
+    pages = synth.read_pages(sf_dir)
+    ds = extract_stage.extracted_pages(pages)
+
+    def project(batch: pa.Table) -> pa.Table:
+        r9 = batch.column("cell_r9").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lat": batch["lat"],
+            "lon": batch["lon"],
+            "cell_r7": batch["cell_r7"],
+            "cell_r8": batch["cell_r8"],
+            "cell_r9": batch["cell_r9"],
+            "r9_parent_r7": pa.array(cells.parent(r9, 7)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _cell_assign_sql() -> str:
+    # r9 -> r7 parent via bit math: ix>>2, iy>>2 repacked
+    r9 = cells.cell_sql(synth.lat_sql(), synth.lon_sql(), 9)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {synth.lat_sql()} AS lat, {synth.lon_sql()} AS lon,
+         {cells.cell_sql(synth.lat_sql(), synth.lon_sql(), 7)} AS cell_r7,
+         {cells.cell_sql(synth.lat_sql(), synth.lon_sql(), 8)} AS cell_r8,
+         {r9} AS cell_r9
+  FROM documents
+)
+SELECT doc_id, lat, lon, cell_r7, cell_r8, cell_r9,
+       (CAST(7 AS BIGINT) << 48)
+         | ((((cell_r9 >> 24) & 16777215) >> 2) << 24)
+         | ((cell_r9 & 16777215) >> 2) AS r9_parent_r7
+FROM c
+"""
+
+
+def _q_snap_to_grid(sf_dir: str):
+    """ST_SnapToGrid analogue over document points (reference
+    POSMmanagement/process.py:85-102, grid default manage.py:156-160)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = batch.column("doc_id").to_numpy()
+        lat = synth.derive_lat(did)
+        lon = synth.derive_lon(did)
+        # grid 0.0005: snapped = round(coord / g) * g with identical op order
+        g = 0.0005
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "snap_lat": pa.array(np.round(lat / g) * g),
+            "snap_lon": pa.array(np.round(lon / g) * g),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _snap_sql() -> str:
+    # numpy round is banker's rounding; DuckDB round() is half-away.
+    # 4-decimal synthetic coords / 0.0005 never land exactly on .5 ulp
+    # boundaries except when coord*10000 % 5 == 0 ties — avoided by using
+    # the same even-rounding via round(x/g) in DuckDB? DuckDB rounds half
+    # away from zero, so restrict to the identical-result expression:
+    # floor(x/g + 0.5) == numpy round unless exactly .5 and even — the
+    # fixture's lat*2000 values are never exact .5 fractions (coords have
+    # 4 decimals; /0.0005 -> value*2000 integer-or-.4/.6... never .5
+    # except multiples of 0.00025 which 4-decimal coords can't hit except
+    # .0005 steps -> integer). So floor(+0.5) is exact here.
+    return f"""
+SELECT doc_id,
+       FLOOR(({synth.lat_sql()}) / 0.0005 + 0.5) * 0.0005 AS snap_lat,
+       FLOOR(({synth.lon_sql()}) / 0.0005 + 0.5) * 0.0005 AS snap_lon
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship spatial path
+        "pip_join_rows": _q_join_rows,
+        "tiles_r7": _q_tiles,
+        "cell_assign": _q_cell_assign,
+        "snap_to_grid": _q_snap_to_grid,
+        # relational operator coverage (groupby/join/sort/filter/window)
+        "pricing_summary": relational.pricing_summary,
+        "top_customers": relational.top_customers,
+        "region_rollup": relational.region_rollup,
+        "order_priority": relational.order_priority,
+        "events_hourly": relational.events_hourly,
+        # text / training-data ops
+        "token_counts": textops.token_counts,
+        "quality_scores": textops.quality_scores,
+        "fingerprints": textops.fingerprints,
+        "dedup_exact": textops.dedup_exact_winners,
+        "noisy_documents": textops.noisy_documents,
+        # heuristic / non-SQL ops (rows-only checks)
+        "lang_quality": textops.lang_quality,
+        "minhash_near_dups": textops.minhash_near_dups,
+        "simhash_near_dups": textops.simhash_near_dups,
+        "knn_geo": _q_knn_geo,
+        "ann_cosine": _q_ann_cosine,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _q_knn_geo(sf_dir: str):
+    """Exact haversine kNN: first 16 geocoded docs as queries against all
+    geocoded pages (rows-only: trig output differs across libms)."""
+    import numpy as np
+
+    from posm_ray.stages import extract as extract_stage, knn
+
+    pages = synth.read_pages(sf_dir)
+    ds = extract_stage.extracted_pages(pages).filter(
+        lambda r: bool(r["geocoded"]))
+    qid = np.arange(1, 17, dtype=np.int64)
+    queries_d = {"id": qid, "lat": synth.derive_lat(qid),
+                 "lon": synth.derive_lon(qid)}
+    out = knn.knn_exact(ds, queries_d, k=5, id_col="doc_id")
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _q_ann_cosine(sf_dir: str):
+    """Exact cosine top-k over the embeddings table, query = first 16
+    vectors (rows-only: float sums depend on op order)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from posm_ray.stages import knn
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 16)
+    queries_d = {
+        "id": head["vec_id"].to_numpy(),
+        "mat": np.asarray(head["embedding"].to_pylist(), dtype=np.float64),
+    }
+    out = knn.ann_cosine_exact(emb, queries_d, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pip_join_rows": _join_rows_sql(),
+        "tiles_r7": _tiles_sql(),
+        "cell_assign": _cell_assign_sql(),
+        "snap_to_grid": _snap_sql(),
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "top_customers": relational.top_customers_sql(),
+        "region_rollup": relational.REGION_ROLLUP_SQL,
+        "order_priority": relational.ORDER_PRIORITY_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "token_counts": textops.TOKEN_COUNTS_SQL,
+        "quality_scores": textops.QUALITY_SCORES_SQL,
+        "fingerprints": textops.FINGERPRINTS_SQL,
+        "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
+        # lang_quality / minhash / simhash / knn_geo / ann_cosine:
+        # intentionally omitted (heuristic or float-order-sensitive) ->
+        # driver records rows-only checks.
+    }

@@ -1,0 +1,145 @@
+"""Benchmark harness (driver contract + scaling protocol, BASELINE.md).
+
+Default: one Ray session at $RAY_GRAFT_CPUS (default 32) over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1); prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "docs": N, "docs_per_sec": X}
+
+--scaling: runs the headline pipeline twice in FRESH subprocesses
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency = (T32/T8)/(32/8)  (BASELINE.md measurement protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = "/tmp/posm_ray_bench"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _consume(ds) -> int:
+    """Stream the dataset to completion; return row count."""
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_headline(sf_dir: str) -> tuple[float, int]:
+    """Flagship end-to-end: pages -> extract -> cells -> PIP join -> salted
+    tile rollup -> partitioned parquet write. Returns (sec, docs_in)."""
+    import shutil
+
+    from posm_ray.pipelines import flagship
+
+    out_dir = f"{SCRATCH}/tiles"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _doc_count(sf_dir)
+    t0 = time.perf_counter()
+    flagship.tiles(sf_dir).write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+    return dt, docs
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-pipeline wall times (each fully consumed)."""
+    from posm_ray.pipelines import flagship, relational, textops
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        res = fn()
+        if hasattr(res, "iter_batches"):
+            _consume(res)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed("pip_join_rows", lambda: flagship.join_rows(sf_dir))
+    timed("tiles_r7", lambda: flagship.tiles(sf_dir))
+    timed("pricing_summary", lambda: relational.pricing_summary(sf_dir))
+    timed("top_customers", lambda: relational.top_customers(sf_dir))
+    timed("events_hourly", lambda: relational.events_hourly(sf_dir))
+    timed("token_counts", lambda: textops.token_counts(sf_dir))
+    timed("dedup_exact", lambda: textops.dedup_exact_winners(sf_dir))
+    timed("simhash_near_dups", lambda: textops.simhash_near_dups(sf_dir))
+    return timings
+
+
+def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    _init_ray(num_cpus)
+    headline_sec, docs = run_headline(sf_dir)
+    result = {
+        "metric": "spatial-join+tiling throughput (flagship end-to-end)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": {"flagship": round(headline_sec, 3)},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs": docs,
+        "docs_per_sec": round(docs / headline_sec, 1),
+    }
+    if not headline_only:
+        result["queries"].update(run_queries(sf_dir))
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def scaling() -> dict:
+    """Two fresh-process runs (headline only) at 8 and 32 CPUs."""
+    runs = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            env=env, capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    t8 = runs[8]["docs_per_sec"]
+    t32 = runs[32]["docs_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (docs/sec, fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"docs_per_sec_8cpu": t8, "docs_per_sec_32cpu": t32,
+                    "sec_8cpu": runs[8]["value"], "sec_32cpu": runs[32]["value"]},
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    os.makedirs(SCRATCH, exist_ok=True)
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        headline_only = "--headline-only" in sys.argv
+        print(json.dumps(single_run(SF_DIR, NUM_CPUS, headline_only)))

@@ -112,12 +112,14 @@ def bpe_ish_token_count(text: str) -> int:
 
 
 def quality_metrics(text: str) -> dict:
-    """Length / punctuation / uppercase / digit counts + stopword hits.
-    Counts (ints) rather than ratios so the oracle compare is exact."""
+    """Length / punctuation / uppercase / digit counts + space count.
+    Counts (ints) rather than ratios so the oracle compare is exact; the
+    character classes are explicit ASCII sets so the DuckDB regexp twin
+    counts identically on unicode text."""
     n = len(text)
     punct = sum(1 for ch in text if ch in _PUNCT)
-    upper = sum(1 for ch in text if ch.isupper())
-    digit = sum(1 for ch in text if ch.isdigit())
+    upper = sum(1 for ch in text if "A" <= ch <= "Z")
+    digit = sum(1 for ch in text if "0" <= ch <= "9")
     spaces = text.count(" ")
     return {"n_chars": n, "n_punct": punct, "n_upper": upper,
             "n_digit": digit, "n_spaces": spaces}

@@ -1,0 +1,285 @@
+"""Relational pipelines over the driver tables — Ray-Data-first.
+
+These prove the engine's general operator coverage (groupby/aggregate,
+broadcast joins, sort/top-k, filter pushdown, window-ish time bucketing,
+SURVEY.md §2.5-2.7) and are all DuckDB-oracle-checked.
+
+Money/metric aggregation rule: sums of doubles are NOT associative, and Ray's
+reduction order is nondeterministic — so every summed metric is integer-scaled
+per row (cents / 1e-4 units) BEFORE the aggregate, summed exactly as int64,
+and unscaled at the end. The oracle SQL applies the identical transform, so
+results are bit-identical regardless of reduction order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped: per (returnflag, linestatus) sums/avgs/count with a
+    date filter, partial-aggregated inside map_batches before the (tiny)
+    groupby shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        qty_c = _cents(batch["l_quantity"])
+        price_c = _cents(batch["l_extendedprice"])
+        # per-row double product first (identical op order in SQL twin)
+        disc_price = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        disc_e4 = pc.cast(pc.round(pc.multiply(disc_price, pa.scalar(10000.0))), pa.int64())
+        df = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": qty_c, "price_c": price_c, "disc_e4": disc_e4,
+        }).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
+            disc_e4=("disc_e4", "sum"), n=("qty_c", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("price_c", alias_name="price_c"),
+        Sum("disc_e4", alias_name="disc_e4"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        qty = pc.divide(pc.cast(batch["qty_c"], pa.float64()), pa.scalar(100.0))
+        price = pc.divide(pc.cast(batch["price_c"], pa.float64()), pa.scalar(100.0))
+        disc = pc.divide(pc.cast(batch["disc_e4"], pa.float64()), pa.scalar(10000.0))
+        n = pc.cast(batch["count_order"], pa.float64())
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": qty,
+            "sum_base_price": price,
+            "sum_disc_price": disc,
+            "avg_qty": pc.divide(qty, n),
+            "avg_price": pc.divide(price, n),
+            "count_order": batch["count_order"],
+        })
+
+    return partials_finalize(agg, finalize)
+
+
+def partials_finalize(ds, fn):
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       (SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0) / COUNT(*) AS avg_qty,
+       (SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Broadcast hash join (orders big side streamed, customer broadcast via
+    ray.put) -> groupby customer -> deterministic top-k sort."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    name_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ref = ray.put(name_map)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "price_c": _cents(batch["o_totalprice"]),
+        }).to_pandas()
+        g = df.groupby("o_custkey", sort=False).agg(
+            price_c=("price_c", "sum"), n=("price_c", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("price_c", alias_name="price_c"),
+                                        Sum("n", alias_name="n_orders"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nm = ray.get(ref) if not isinstance(ref, dict) else ref
+        keys = batch["o_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_name": pa.array([nm.get(int(x)) for x in keys], pa.string()),
+            "revenue": pc.divide(pc.cast(batch["price_c"], pa.float64()),
+                                 pa.scalar(100.0)),
+            "n_orders": batch["n_orders"],
+        })
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
+    return out.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def top_customers_sql(k: int = 10) -> str:
+    return f"""
+SELECT o.o_custkey AS c_custkey, c.c_name AS c_name,
+       SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {k}
+"""
+
+
+def region_rollup(sf_dir: str):
+    """3-way dim join (region<-nation<-customer) with both dims broadcast —
+    J4 ancestry-join analogue (proc_functions.sql:337-362)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    ref = ray.put((n2r, r2name))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        maps = ray.get(ref) if not isinstance(ref, tuple) else ref
+        n2r_, r2name_ = maps
+        nk = batch["c_nationkey"].to_pylist()
+        rname = [r2name_[n2r_[int(x)]] for x in nk]
+        df = pa.table({
+            "r_name": pa.array(rname, pa.string()),
+            "bal_c": _cents(batch["c_acctbal"]),
+        }).to_pandas()
+        g = df.groupby("r_name", sort=False).agg(
+            bal_c=("bal_c", "sum"), n=("bal_c", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = cust.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Sum("bal_c", alias_name="bal_c"),
+                                     Sum("n", alias_name="n_customers"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"],
+            "n_customers": batch["n_customers"],
+            "total_acctbal": pc.divide(pc.cast(batch["bal_c"], pa.float64()),
+                                       pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+REGION_ROLLUP_SQL = """
+SELECT r.r_name AS r_name, COUNT(*) AS n_customers,
+       SUM(CAST(round(c.c_acctbal * 100.0) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def order_priority(sf_dir: str):
+    """Filter (pushed into the read) + groupby count — O2/M5 analogue."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+    )
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped, SURVEY.md §2.10): events
+    bucketed to the hour, per (event_type, hour) count + exact value sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pa.table({
+            "event_type": batch["event_type"],
+            "hour": hour,
+            "value_c": _cents(batch["value"]),
+        }).to_pandas()
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            value_c=("value_c", "sum"), n=("value_c", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n_events"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            # pandas round-trips floor_temporal to [s]; pin the unit to
+            # timestamp[us] so schema matches the DuckDB oracle exactly
+            "hour": pc.cast(batch["hour"], pa.timestamp("us")),
+            "n_events": batch["n_events"],
+            "total_value": pc.divide(pc.cast(batch["value_c"], pa.float64()),
+                                     pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""

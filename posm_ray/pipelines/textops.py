@@ -1,0 +1,191 @@
+"""Text-analysis + dedup pipelines over the documents corpus.
+
+``noisy_documents`` injects deterministic exact and near duplicates into the
+(all-distinct) driver corpus so the dedup operators have real work; the
+injection is SQL-expressible, so exact dedup stays oracle-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import text as textfn
+from ..stages import dedup as dedup_stage
+
+EXACT_DUP_MOD = 7       # doc_id % 7 == 0 -> exact copy at doc_id + 1_000_000
+NEAR_DUP_MOD = 11       # doc_id % 11 == 0 -> near copy at doc_id + 2_000_000
+NEAR_DUP_SUFFIX = " near duplicate marker"
+
+
+def noisy_documents(sf_dir: str):
+    """documents + injected duplicates as one streaming Dataset."""
+    import ray.data as rd
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def exact_dups(batch: pa.Table) -> pa.Table:
+        did_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(did_np % EXACT_DUP_MOD == 0))
+        did = pc.add(batch["doc_id"], pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"doc_id": did, "text": batch["text"],
+                         "lang": batch["lang"]})
+
+    def near_dups(batch: pa.Table) -> pa.Table:
+        did_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(did_np % NEAR_DUP_MOD == 0))
+        did = pc.add(batch["doc_id"], pa.scalar(2_000_000, pa.int64()))
+        txt = pc.binary_join_element_wise(batch["text"],
+                                          pa.scalar(NEAR_DUP_SUFFIX), "")
+        return pa.table({"doc_id": did, "text": txt, "lang": batch["lang"]})
+
+    b2 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]) \
+        .map_batches(exact_dups, batch_format="pyarrow")
+    b3 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]) \
+        .map_batches(near_dups, batch_format="pyarrow")
+    return base.union(b2, b3)
+
+
+NOISY_DOCUMENTS_SQL = f"""
+SELECT doc_id, text, lang FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id % {EXACT_DUP_MOD} = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text || '{NEAR_DUP_SUFFIX}' AS text, lang
+FROM documents WHERE doc_id % {NEAR_DUP_MOD} = 0
+"""
+
+
+def dedup_exact_winners(sf_dir: str):
+    """(content_hash, keep_id): min doc_id per distinct text over the noisy
+    corpus — hash-partitioned exact dedup."""
+    return dedup_stage.dedup_exact(noisy_documents(sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
+FROM ({NOISY_DOCUMENTS_SQL}) GROUP BY md5(text)
+"""
+
+
+def token_counts(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array([textfn.token_count(t) for t in texts],
+                                 pa.int64()),
+            "n_bpe_ish": pa.array([textfn.bpe_ish_token_count(t) for t in texts],
+                                  pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))::BIGINT AS n_bpe_ish
+FROM documents
+"""
+
+
+def quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows = [textfn.quality_metrics(t) for t in texts]
+        out = {"doc_id": batch["doc_id"]}
+        for k in ("n_chars", "n_punct", "n_upper", "n_digit", "n_spaces"):
+            out[k] = pa.array([r[k] for r in rows], pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+QUALITY_SCORES_SQL = r"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::BIGINT AS n_punct,
+       (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT AS n_upper,
+       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+       (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_spaces
+FROM documents
+"""
+
+
+def fingerprints(sf_dir: str):
+    """(doc_id, content_hash) md5 fingerprint — oracle: md5(text)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "content_hash": pa.array([textfn.fingerprint_md5(t) for t in texts],
+                                     pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS content_hash FROM documents"
+
+
+def lang_quality(sf_dir: str):
+    """Language id + stopword hits (heuristic — rows-only check, no SQL)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        pred = [textfn.lang_id(t) for t in texts]
+        hits = [textfn.stopword_hits(t) for t in texts]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "lang_pred": pa.array(pred, pa.string()),
+            "stop_hits": pa.array(hits, pa.int64()),
+            "fingerprint": pa.array(
+                [textfn.rolling_fingerprint(t) for t in texts], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup pairs over the noisy corpus, Jaccard-verified.
+    Returns a pandas DataFrame (a, b, jaccard>=0.35 pairs) — rows-only check
+    (minhash is not SQL-expressible)."""
+    docs = noisy_documents(sf_dir)
+    pairs = dedup_stage.minhash_candidate_pairs(docs)
+    verified = dedup_stage.verify_jaccard_pairs(
+        pairs, noisy_documents(sf_dir), threshold=0.35)
+    out = verified[["a", "b", "jaccard"]].copy()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def simhash_near_dups(sf_dir: str):
+    """SimHash hamming<=6 pairs over the noisy corpus (rows-only check)."""
+    docs = noisy_documents(sf_dir)
+    return dedup_stage.simhash_pairs(docs, max_hamming=6)

@@ -1,0 +1,68 @@
+"""Extraction stage: html -> text + geocode + cell assignment.
+
+One actor-pool map_batches stage does all three per-row derivations in a
+single pass over the batch (one traversal of the big side, SURVEY.md J2
+pattern), then DROPS the html column — the wide binary payload never crosses
+another stage boundary (projection pushdown, SURVEY.md §7.5.8).
+
+Reference analogues: FeatureReader streaming (exposm/reader.py:37-73) ->
+Arrow batches; representative_point (extract.py:211-213) -> the page's
+geo.position point; snapToGrid raster move -> cell assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import cells
+from ..functions import text as textfn
+
+CELL_RESES = (7, 8, 9)
+
+
+class ExtractGeocodeCells:
+    """Callable-class stage for ``map_batches(..., concurrency=N)``.
+
+    __init__ (once per actor) owns compiled regexes via the functions.text
+    module import; __call__ handles one Arrow batch zero-copy in, Arrow out.
+    """
+
+    def __init__(self, reses: tuple[int, ...] = CELL_RESES):
+        self.reses = reses
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = batch.column("html").to_pylist()
+        extracted = [textfn.extract_text(h) for h in html]
+        geo = [textfn.geocode_meta(h) for h in html]
+        lat = np.array([g[0] if g else np.nan for g in geo], dtype=np.float64)
+        lon = np.array([g[1] if g else np.nan for g in geo], dtype=np.float64)
+        geocoded = np.isfinite(lat) & np.isfinite(lon)
+        cols = {
+            "url": batch.column("url"),
+            "doc_id": batch.column("doc_id"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "text": pa.array(extracted, pa.string()),
+            "lat": pa.array(lat),
+            "lon": pa.array(lon),
+            "geocoded": pa.array(geocoded),
+        }
+        if "text" in batch.column_names:
+            golden = batch.column("text").to_pylist()
+            cols["byte_identical"] = pa.array(
+                [e == g for e, g in zip(extracted, golden)]
+            )
+        for r in self.reses:
+            # cell of non-geocoded rows is a clamped sentinel; filtered later
+            cols[f"cell_r{r}"] = pa.array(cells.cell_id(lat, lon, r))
+        return pa.table(cols)
+
+
+def extracted_pages(pages, *, concurrency=None, batch_size: int = 1024):
+    """pages Dataset -> extracted/geocoded/cell-assigned Dataset (html
+    dropped). Actor pool sized by ``concurrency`` (None -> Ray autoscale)."""
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
+                  zero_copy_batch=True,
+                  concurrency=concurrency if concurrency is not None else (1, 4))
+    return pages.map_batches(ExtractGeocodeCells, **kwargs)

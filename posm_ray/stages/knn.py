@@ -1,0 +1,289 @@
+"""kNN (haversine, geographic) and ANN (cosine, embeddings).
+
+North-star J7: per-H3-shard kNN with halo replication; plus the exact
+brute-force baselines that double as correctness oracles.
+
+Patterns:
+- the QUERY set is small and broadcast (ray.put once, read per actor);
+  candidates stream through map_batches — no shuffle of the big side;
+- per-batch partial top-k (numpy argpartition) -> groupby(query).map_groups
+  merges partials: the shuffle carries only Q x k x num_batches rows;
+- the sharded variant co-locates candidates by coarse cell and replicates
+  each query to its 3x3 halo shards (cells.neighbors), turning global kNN
+  into per-shard local work — the scale path when queries are also huge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import cells
+from ..geom.kernels import haversine_m
+
+
+class _PartialTopK:
+    """map_batches stage: for each broadcast query point, the k nearest
+    candidates within this batch."""
+
+    def __init__(self, q_ref, k: int, id_col: str):
+        q = q_ref
+        if not isinstance(q, dict):
+            import ray
+
+            q = ray.get(q_ref)
+        self.qid = q["id"]
+        self.qlat = q["lat"]
+        self.qlon = q["lon"]
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        clat = batch.column("lat").to_numpy(zero_copy_only=False)
+        clon = batch.column("lon").to_numpy(zero_copy_only=False)
+        out_q, out_n, out_d = [], [], []
+        # vectorized per query over the whole batch (Q small, batch large)
+        for i in range(len(self.qid)):
+            d = haversine_m(self.qlat[i], self.qlon[i], clat, clon)
+            kk = min(self.k, len(d))
+            idx = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+            out_q.append(np.full(kk, self.qid[i], dtype=np.int64))
+            out_n.append(cid[idx])
+            out_d.append(d[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dist_m": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "dist_m": pa.array(np.concatenate(out_d)),
+        })
+
+
+def _merge_topk(k: int, exclude_self: bool):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        # deterministic: sort by (dist, neighbor_id) — ties broken by id
+        g = g.sort_values(["dist_m", "neighbor_id"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return fn
+
+
+def knn_exact(candidates, queries: dict, *, k: int = 5, id_col: str = "doc_id",
+              exclude_self: bool = True, concurrency=None):
+    """Exact kNN of broadcast ``queries`` {id, lat, lon arrays} against the
+    streaming ``candidates`` Dataset (must have id_col, lat, lon)."""
+    import ray
+
+    q_ref = ray.put(queries)
+    kwargs = dict(batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
+                  fn_constructor_kwargs={"q_ref": q_ref, "k": k + (1 if exclude_self else 0),
+                                         "id_col": id_col},
+                  concurrency=concurrency if concurrency is not None else (1, 4))
+    partial = candidates.map_batches(_PartialTopK, **kwargs)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk(k, exclude_self), batch_format="pandas"
+    )
+
+
+def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
+                id_col: str = "doc_id"):
+    """All-pairs kNN, sharded: candidates grouped by coarse cell; each point
+    also replicated to its 3x3 halo shards as a *candidate*, so every point's
+    true neighbors within one shard-width are present locally. Exact for
+    neighbors closer than one shard cell (~shard_res width); documented
+    partitioning assumption (SURVEY.md J7)."""
+
+    def to_shards(batch: pa.Table) -> pa.Table:
+        pid = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        home = cells.cell_id(lat, lon, shard_res)
+        rows_id, rows_lat, rows_lon, rows_shard, rows_home = [], [], [], [], []
+        for i in range(len(pid)):
+            halo = cells.neighbors(np.array([home[i]]))
+            for s in halo:
+                rows_id.append(pid[i])
+                rows_lat.append(lat[i])
+                rows_lon.append(lon[i])
+                rows_shard.append(int(s))
+                rows_home.append(int(home[i]))
+        return pa.table({
+            id_col: pa.array(rows_id, pa.int64()),
+            "lat": pa.array(rows_lat, pa.float64()),
+            "lon": pa.array(rows_lon, pa.float64()),
+            "shard": pa.array(rows_shard, pa.int64()),
+            "home": pa.array(rows_home, pa.int64()),
+        })
+
+    sharded = candidates.map_batches(to_shards, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        shard = g["shard"].iloc[0]
+        owners = g[g["home"] == shard]  # points whose home is this shard
+        if len(owners) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist_m": [],
+                                 "rank": []})
+        cand = g
+        qlat = owners["lat"].to_numpy()
+        qlon = owners["lon"].to_numpy()
+        qid = owners[id_col].to_numpy()
+        clat = cand["lat"].to_numpy()
+        clon = cand["lon"].to_numpy()
+        cid = cand[id_col].to_numpy()
+        frames = []
+        for i in range(len(qid)):
+            d = haversine_m(qlat[i], qlon[i], clat, clon)
+            mask = cid != qid[i]
+            dd, ii = d[mask], cid[mask]
+            order = np.lexsort((ii, dd))[:k]
+            frames.append(pd.DataFrame({
+                "query_id": qid[i], "neighbor_id": ii[order],
+                "dist_m": dd[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return sharded.groupby("shard").map_groups(per_shard, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ANN over embeddings
+# ---------------------------------------------------------------------------
+
+class _CosinePartialTopK:
+    """Brute-force cosine top-k per batch against a broadcast query matrix
+    (numpy matmul — the vectorized baseline; IVF/LSH variants in dedup.py
+    bucket first)."""
+
+    def __init__(self, q_ref, k: int):
+        q = q_ref
+        if not isinstance(q, dict):
+            import ray
+
+            q = ray.get(q_ref)
+        self.qid = q["id"]
+        qm = q["mat"].astype(np.float64)
+        self.qmat = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        sims = self.qmat @ emb.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(self.qid)):
+            s = sims[i]
+            kk = min(self.k, len(s))
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(kk, self.qid[i], dtype=np.int64))
+            out_n.append(vid[idx])
+            out_s.append(s[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "cosine": pa.array(np.concatenate(out_s)),
+        })
+
+
+def ann_cosine_exact(embeddings, queries: dict, *, k: int = 5,
+                     exclude_self: bool = True, concurrency=None):
+    """Exact cosine top-k: broadcast query matrix, streamed candidates,
+    partial top-k per batch, merge per query."""
+    import ray
+
+    q_ref = ray.put(queries)
+    kwargs = dict(batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+                  fn_constructor_kwargs={"q_ref": q_ref,
+                                         "k": k + (1 if exclude_self else 0)},
+                  concurrency=concurrency if concurrency is not None else (1, 4))
+    partial = embeddings.map_batches(_CosinePartialTopK, **kwargs)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
+                   seed: int = 42):
+    """LSH-bucketed ANN (the scale path): random-hyperplane signature buckets
+    both sides; top-k computed only within each query's bucket. Approximate —
+    recall depends on nplanes; deterministic planes from ``seed``."""
+    qmat = queries["mat"].astype(np.float64)
+    dim = qmat.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, nplanes))
+
+    def signature(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        return (bits * (1 << np.arange(nplanes))).sum(axis=1).astype(np.int64)
+
+    qsig = signature(qmat)
+    by_bucket: dict[int, list[int]] = {}
+    for i, s in enumerate(qsig):
+        by_bucket.setdefault(int(s), []).append(i)
+
+    import ray
+
+    ctx = ray.put({"planes": planes, "qid": queries["id"], "qmat": qmat,
+                   "qbuckets": by_bucket, "k": k})
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(ctx) if not isinstance(ctx, dict) else ctx
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        embn = emb / norms
+        sig = ((emb @ c["planes"]) > 0)
+        sig = (sig * (1 << np.arange(sig.shape[1]))).sum(axis=1).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        qmatn = c["qmat"] / np.linalg.norm(c["qmat"], axis=1, keepdims=True)
+        for bucket, qidx in c["qbuckets"].items():
+            mask = sig == bucket
+            if not mask.any():
+                continue
+            sims = qmatn[qidx] @ embn[mask].T
+            sub_vid = vid[mask]
+            for j, qi in enumerate(qidx):
+                s = sims[j]
+                kk = min(c["k"] + 1, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                out_q.append(np.full(len(idx), c["qid"][qi], dtype=np.int64))
+                out_n.append(sub_vid[idx])
+                out_s.append(s[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "cosine": pa.array(np.concatenate(out_s))})
+
+    partial = embeddings.map_batches(per_batch, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

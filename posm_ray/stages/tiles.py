@@ -1,0 +1,112 @@
+"""Tile aggregation: groupby(cell) rollups with skew-safe pre-aggregation.
+
+The graft's raster<->vector tile move (A1 dissolve analogue,
+proc_functions.sql:289-333 — union-by-parent becomes rollup-by-cell).
+
+Skew (SURVEY.md §4, §7.5.5): the synthetic mega-cell holds ~20% of all
+rows. Naive ``groupby(cell)`` would ship every mega-cell row to one
+reducer. Two defenses, both used here:
+
+1. **Per-batch partial aggregation** inside map_batches: each batch emits at
+   most one row per (cell, domain) — the shuffle moves pre-reduced partials,
+   not raw rows.
+2. **Composite first-stage key** (cell, domain): the hot cell is split
+   across its ~N_DOMAINS distinct domains (a natural salt), then a second,
+   tiny groupby(cell) merges the salted partials.
+
+For rollups without a natural salt column, ``salted_counts`` salts with
+``doc_id % nsalt``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import synth
+
+
+def _partial_pair_counts(batch: pa.Table, cell_col: str) -> pa.Table:
+    """(cell, domain) -> row count within this batch (combiner step)."""
+    cell = batch.column(cell_col).to_numpy(zero_copy_only=False)
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    domain = doc_id % synth.N_DOMAINS
+    df = pd.DataFrame({"cell": cell, "domain": domain})
+    g = df.groupby(["cell", "domain"], sort=False).size().reset_index(name="cnt")
+    return pa.table(
+        {
+            "cell": pa.array(g["cell"].to_numpy(), pa.int64()),
+            "domain": pa.array(g["domain"].to_numpy(), pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def tile_rollup(join_rows, cell_col: str = "cell_r7"):
+    """join rows -> tiles (cell, doc_count, distinct_domains).
+
+    partial per batch -> groupby(cell, domain) [salted shuffle] -> partial
+    per batch -> groupby(cell) [tiny shuffle].
+    """
+    from ray.data.aggregate import Count, Sum
+
+    pairs = join_rows.map_batches(
+        lambda b: _partial_pair_counts(b, cell_col), batch_format="pyarrow"
+    )
+    per_pair = pairs.groupby(["cell", "domain"]).aggregate(
+        Sum("cnt", alias_name="pair_cnt")
+    )
+    tiles = per_pair.groupby("cell").aggregate(
+        Sum("pair_cnt", alias_name="doc_count"),
+        Count(alias_name="distinct_domains"),
+    )
+    return tiles
+
+
+def salted_counts(ds, key_col: str, *, nsalt: int = 64, salt_src: str = "doc_id"):
+    """Generic skew-safe count-by-key: partial count per (key, salt) inside
+    map_batches, shuffle on the salted key, then merge salts."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        salt = batch.column(salt_src).to_numpy(zero_copy_only=False) % nsalt
+        df = pd.DataFrame({"key": key, "salt": salt})
+        g = df.groupby(["key", "salt"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_salt = partials.groupby(["key", "salt"]).aggregate(
+        Sum("cnt", alias_name="salt_cnt")
+    )
+
+    def merge_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("key", sort=False)["salt_cnt"].sum().reset_index(name="cnt")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = per_salt.map_batches(merge_partial, batch_format="pyarrow")
+    return merged.groupby("key").aggregate(Sum("cnt", alias_name="doc_count"))
+
+
+def dissolve_by_parent(boundaries: pa.Table, level: int) -> pa.Table:
+    """A1 dissolve analogue (proc_functions.sql:289-333): per-parent union of
+    child bboxes + child count. Geometric union of the synthetic rectangles
+    is their bounding box per parent; at engine level this is the per-parent
+    rollup the SQL dissolve performs (ST_Union -> envelope rollup)."""
+    import pyarrow.compute as pc
+
+    from ..geom import wkb as _wkb
+    from ..geom.kernels import rings_bbox
+
+    sub = boundaries.filter(pc.equal(boundaries["adminlevel"], level))
+    parents = sub["is_in"].to_pylist()
+    boxes = [rings_bbox(_wkb.wkb_to_rings(b.as_py())) for b in sub["geom_wkb"]]
+    df = pd.DataFrame(boxes, columns=["minx", "miny", "maxx", "maxy"])
+    df["parent"] = parents
+    g = df.groupby("parent", dropna=False).agg(
+        minx=("minx", "min"), miny=("miny", "min"),
+        maxx=("maxx", "max"), maxy=("maxy", "max"),
+        n_children=("minx", "size"),
+    ).reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
