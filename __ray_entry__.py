@@ -219,7 +219,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": textops.simhash_near_dups,
         "knn_geo": _q_knn_geo,
         "ann_cosine": _q_ann_cosine,
+        # posm boundary-extraction semantics (deterministic fixture input;
+        # rows-only — WKB fixture not SQL-inlinable)
+        "boundary_hierarchy": _q_boundary_hierarchy,
+        "boundary_discards": _q_boundary_discards,
+        "boundary_problems": _q_boundary_problems,
     }
+
+
+def _q_boundary_hierarchy(sf_dir: str):
+    """Accepted levels 0-2 of the posm extract lifecycle on the raw fixture
+    (extract.py:92-355 semantics; sf_dir unused — boundary fixture input)."""
+    import pyarrow as pa
+
+    from posm_ray.pipelines import boundary
+    from posm_ray.sources import boundaries as bsrc2
+
+    res = boundary.extract_hierarchy(bsrc2.raw_boundaries())
+    return pa.concat_tables(
+        [res.levels[k].drop_columns(["geom_wkb"]) for k in (0, 1, 2)])
+
+
+def _q_boundary_discards(sf_dir: str):
+    from posm_ray.pipelines import boundary
+    from posm_ray.sources import boundaries as bsrc2
+
+    return boundary.discards_table(
+        boundary.normalized(bsrc2.raw_boundaries()))
+
+
+def _q_boundary_problems(sf_dir: str):
+    from posm_ray.pipelines import boundary
+    from posm_ray.sources import boundaries as bsrc2
+
+    return boundary.problems_table(
+        boundary.normalized(bsrc2.raw_boundaries()))
 
 
 def _q_knn_geo(sf_dir: str):

@@ -1,0 +1,471 @@
+"""Boundary-extraction pipeline — posm's flagship extract rebuilt Ray-Data-first.
+
+Reference lifecycle (extract.py:64-358, SURVEY.md §3.1): three sequential
+full scans of the OSM input, each building per-level PostGIS tables plus
+in-process rtree/prepared-dict state. Rebuild: ONE normalize pass over the
+raw feature Dataset (M1 id prefixing, M2 name coalesce, M3 iso upper,
+M4 validity gate + reason, M5 admin-tag check, M8 representative point —
+all per-batch), then per-level acceptance with a **stage barrier** between
+levels (the accepted level-k table is materialized — it is the small side —
+and broadcast into the level-k+1 PIP stage, SURVEY.md §2.10 ordering note).
+
+Faithful reference semantics:
+- pass 0 keeps ``admin_level == '2'`` rows (extract.py:141-162); the saved
+  ``name`` column receives name_en (extract.py:146-147);
+- pass 1 keeps rows whose representative point lands in a country and whose
+  ``admin_level`` equals the per-country mapping's admin_level_1
+  (extract.py:211-265); ``is_in`` = country;
+- pass 2 probes country AND state; keeps rows matching admin_level_2 for the
+  country, with a state parent; ``is_in`` = state (extract.py:296-355);
+- unusable set = bad-geometry + non-administrative rows, skipped in later
+  passes (extract.py:73,122,135,201,296);
+- problems sink (osm_id, reason, link) per writeProblem/genProblemLink
+  (exposm/utils.py:105-153);
+- discards sink per extract_all.py:55-81 (non-BONKERS bad geometry with the
+  RAW osm_id + missing-id rows);
+- check-file diffs per read/write_admin_check_files (extract.py:27-61).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import ids as idfn
+from ..geom import kernels, wkb
+from ..geom.index import GridIndex
+from ..sources import boundaries as bsrc
+
+LEVEL0_ADMIN_LEVEL = "2"  # extract.py:141 — countries are admin_level '2'
+
+
+# ---------------------------------------------------------------------------
+# problem link / reason parsing (faithful to exposm/utils.py:105-126)
+# ---------------------------------------------------------------------------
+
+def parse_reason(reason: str) -> tuple[float, float]:
+    """Reference parseReason (exposm/utils.py:105-115): only the
+    self-intersection/duplicate-ring grammars carry coordinates; BONKERS
+    maps to (0,0); anything else to (-1000,-1000)."""
+    if reason.startswith("Ring Self-intersection"):
+        parts = reason[23:-1].split(" ")
+    elif reason.startswith("Self-intersection"):
+        parts = reason[18:-1].split(" ")
+    elif reason.startswith("Duplicate Rings"):
+        parts = reason[16:-1].split(" ")
+    elif reason.startswith("BONKERS!"):
+        return (0.0, 0.0)
+    else:
+        return (-1000.0, -1000.0)
+    return (float(parts[0]), float(parts[1]))
+
+
+def gen_problem_link(osm_id: str | None) -> str:
+    """Reference genProblemLink (exposm/utils.py:118-126)."""
+    if not osm_id:
+        return f"Unknown feature type for osm_id: {osm_id}"
+    if osm_id[0] == "N":
+        return f"http://www.openstreetmap.org/node/{osm_id[1:]}"
+    if osm_id[0] == "W":
+        return f"http://www.openstreetmap.org/way/{osm_id[1:]}"
+    if osm_id[0] == "R":
+        return f"http://www.openstreetmap.org/relation/{osm_id[1:]}"
+    return f"Unknown feature type for osm_id: {osm_id}"
+
+
+def problem_link(osm_id: str | None, reason: str) -> str:
+    """writeProblem's link assembly (exposm/utils.py:129-153): coords from
+    the reason string; (0,0) (BONKERS) gets the bare link."""
+    lon, lat = parse_reason(reason)
+    link = gen_problem_link(osm_id)
+    if (lon, lat) != (0.0, 0.0):
+        link = f"{link}?mlat={lat}&mlon={lon}#map=18/{lat}/{lon}"
+    return link
+
+
+# ---------------------------------------------------------------------------
+# normalize stage (one pass: M1-M5 + M8)
+# ---------------------------------------------------------------------------
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Raw feature batch -> normalized batch with derived columns:
+    osm_id (prefixed, null=discard), name_en (coalesced), iso3166 (upper),
+    reason (null=valid geometry), rep_lat/rep_lon (representative point,
+    NaN when geometry is bad)."""
+    osm_id = idfn.prepare_osm_id(batch["layer"], batch["osm_id_raw"],
+                                 batch["osm_way_id_raw"])
+    name_en = pc.coalesce(batch["name_en"], batch["name"])
+    iso = pc.utf8_upper(batch["iso3166"])
+    reasons: list[str | None] = []
+    rlat = np.full(batch.num_rows, np.nan)
+    rlon = np.full(batch.num_rows, np.nan)
+    for i, b in enumerate(batch["geom_wkb"]):
+        raw = b.as_py()
+        if raw is None:
+            reasons.append(kernels.BONKERS)
+            continue
+        try:
+            rings = wkb.wkb_to_rings(raw)
+        except (ValueError, struct_error):
+            reasons.append(kernels.BONKERS)
+            continue
+        reason = kernels.explain_validity(rings)
+        reasons.append(reason)
+        if reason is None:
+            x, y = kernels.representative_point(rings)
+            rlon[i], rlat[i] = x, y
+    return pa.table({
+        "osm_id": osm_id,
+        "osm_id_raw": batch["osm_id_raw"],
+        "name": batch["name"],
+        "name_en": name_en,
+        "admin_level": batch["admin_level"],
+        "boundary": batch["boundary"],
+        "iso3166": iso,
+        "geom_wkb": batch["geom_wkb"],
+        "reason": pa.array(reasons, pa.string()),
+        "rep_lat": pa.array(rlat),
+        "rep_lon": pa.array(rlon),
+    })
+
+
+import struct
+
+struct_error = struct.error
+
+
+def normalized(raw, *, batch_size: int = 1024):
+    """Raw Dataset/Table -> normalized Dataset (single map_batches pass)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(raw) if isinstance(raw, pa.Table) else raw
+    return ds.map_batches(normalize_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# sinks derived from the normalized Dataset
+# ---------------------------------------------------------------------------
+
+def problems_table(norm) -> pa.Table:
+    """(osm_id, reason, link, lon, lat) — rows that passed the id+name gates
+    but failed the validity gate (extract.py:118-126 + utils.py:129-153).
+    The Point geometry is the parsed problem location."""
+    flt = norm.filter(
+        lambda r: r["osm_id"] is not None and r["name_en"] is not None
+        and r["reason"] is not None
+    )
+    out = {"osm_id": [], "reason": [], "link": [], "lon": [], "lat": []}
+    for b in flt.iter_batches(batch_format="pyarrow"):
+        for osm_id, reason in zip(b["osm_id"].to_pylist(),
+                                  b["reason"].to_pylist()):
+            lon, lat = parse_reason(reason)
+            out["osm_id"].append(osm_id)
+            out["reason"].append(reason)
+            out["link"].append(problem_link(osm_id, reason))
+            out["lon"].append(lon)
+            out["lat"].append(lat)
+    return pa.table({
+        "osm_id": pa.array(out["osm_id"], pa.string()),
+        "reason": pa.array(out["reason"], pa.string()),
+        "link": pa.array(out["link"], pa.string()),
+        "lon": pa.array(out["lon"], pa.float64()),
+        "lat": pa.array(out["lat"], pa.float64()),
+    })
+
+
+def discards_table(norm) -> pa.Table:
+    """(osm_id, name, adminlevel, reason) per extract_all.py:55-81:
+    non-BONKERS bad geometry keeps the RAW osm_id; features whose prepared
+    id is null are discarded with 'Feature without OSM_ID!'."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        reason = batch["reason"].to_pylist()
+        raw_id = batch["osm_id_raw"].to_pylist()
+        prep_id = batch["osm_id"].to_pylist()
+        name = batch["name"].to_pylist()
+        lvl = batch["admin_level"].to_pylist()
+        o_id, o_name, o_lvl, o_reason = [], [], [], []
+        for i in range(batch.num_rows):
+            if reason[i] is not None and reason[i] != kernels.BONKERS:
+                o_id.append(raw_id[i])
+                o_name.append(name[i])
+                o_lvl.append(lvl[i])
+                o_reason.append(reason[i])
+            elif reason[i] is None and prep_id[i] is None:
+                o_id.append(None)
+                o_name.append(name[i])
+                o_lvl.append(lvl[i])
+                o_reason.append("Feature without OSM_ID!")
+        return pa.table({
+            "osm_id": pa.array(o_id, pa.string()),
+            "name": pa.array(o_name, pa.string()),
+            "adminlevel": pa.array(o_lvl, pa.string()),
+            "reason": pa.array(o_reason, pa.string()),
+        })
+
+    tables = list(norm.map_batches(fn, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tables) if tables else fn(
+        pa.table({c: pa.array([], pa.string()) for c in
+                  ("reason", "osm_id_raw", "osm_id", "name", "admin_level")}))
+
+
+def unusable_ids(norm) -> frozenset[str]:
+    """Blocklist (extract.py:73,122,135): ids with bad geometry or a
+    non-administrative boundary tag. Small set — collected to the driver
+    and broadcast (X4 analogue)."""
+    flt = norm.filter(
+        lambda r: r["osm_id"] is not None and (
+            r["reason"] is not None or r["boundary"] != "administrative")
+    ).select_columns(["osm_id"])
+    out: set[str] = set()
+    for b in flt.iter_batches(batch_format="pyarrow"):
+        out.update(b["osm_id"].to_pylist())
+    return frozenset(out)
+
+
+# ---------------------------------------------------------------------------
+# per-level acceptance passes
+# ---------------------------------------------------------------------------
+
+_ACCEPT_SCHEMA = pa.schema([
+    ("osm_id", pa.string()),
+    ("name", pa.string()),
+    ("name_en", pa.string()),
+    ("adminlevel", pa.int32()),
+    ("iso3166", pa.string()),
+    ("is_in", pa.string()),
+    ("geom_wkb", pa.binary()),
+])
+
+
+def _accept_table(rows: dict) -> pa.Table:
+    return pa.table({k: pa.array(rows[k], _ACCEPT_SCHEMA.field(k).type)
+                     for k in _ACCEPT_SCHEMA.names})
+
+
+def accept_level0(norm) -> pa.Table:
+    """Pass 0 (extract.py:92-162): valid, administrative, admin_level=='2';
+    saved name = name_en; is_in = NULL."""
+    flt = norm.filter(
+        lambda r: r["osm_id"] is not None and r["name_en"] is not None
+        and r["reason"] is None and r["boundary"] == "administrative"
+        and r["admin_level"] == LEVEL0_ADMIN_LEVEL
+    )
+    rows = {k: [] for k in _ACCEPT_SCHEMA.names}
+    for b in flt.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            rows["osm_id"].append(r["osm_id"])
+            rows["name"].append(r["name_en"])   # extract.py:146 name<-name_en
+            rows["name_en"].append(r["name_en"])
+            rows["adminlevel"].append(int(r["admin_level"]))
+            rows["iso3166"].append(r["iso3166"])
+            rows["is_in"].append(None)
+            rows["geom_wkb"].append(r["geom_wkb"])
+    return _accept_table(rows)
+
+
+class _HierarchyPass:
+    """Actor stage for passes 1/2: probes the broadcast parent-level
+    table(s), applies the per-country admin-level mapping predicate
+    (extract.py:218-247, M6), and emits accepted rows in writer schema.
+
+    ``level`` is 1 or 2; ``refs`` is (level0_ref,) or (level0_ref,
+    level1_ref) — ray.put ObjectRefs (or plain tables in tests)."""
+
+    def __init__(self, level: int, refs, blocklist, mapping_default,
+                 mapping_overrides):
+        self.level = level
+        tables = []
+        for ref in refs:
+            t = ref
+            if not isinstance(t, pa.Table):
+                import ray
+
+                t = ray.get(ref)
+            tables.append(t)
+        self.idx0 = self._build(tables[0])
+        self.idx1 = self._build(tables[1]) if level == 2 else None
+        bl = blocklist
+        if not isinstance(bl, frozenset):
+            import ray
+
+            bl = ray.get(blocklist)
+        self.blocklist = bl
+        self.mapping_default = mapping_default
+        self.mapping_overrides = mapping_overrides
+
+    @staticmethod
+    def _build(table: pa.Table) -> GridIndex:
+        ids_ = table["osm_id"].to_pylist()
+        rings = [wkb.wkb_to_rings(b.as_py()) for b in table["geom_wkb"]]
+        return GridIndex(ids_, rings)
+
+    def _search_level(self, country: str) -> str | None:
+        key = f"admin_level_{self.level}"
+        override = self.mapping_overrides.get(country, {}).get(key)
+        return override if override else self.mapping_default.get(key)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in _ACCEPT_SCHEMA.names}
+        rep_lat = batch["rep_lat"].to_numpy(zero_copy_only=False)
+        rep_lon = batch["rep_lon"].to_numpy(zero_copy_only=False)
+        finite = np.isfinite(rep_lat) & np.isfinite(rep_lon)
+        qlat = np.where(finite, rep_lat, 0.0)
+        qlon = np.where(finite, rep_lon, 0.0)
+        in_country = self.idx0.query_points(qlat, qlon)
+        in_state = (self.idx1.query_points(qlat, qlon)
+                    if self.idx1 is not None else None)
+        cols = batch.to_pylist()
+        for i, r in enumerate(cols):
+            # gate order matches extract.py:180-206 / 274-301
+            if r["osm_id"] is None or r["name_en"] is None:
+                continue
+            if r["osm_id"] in self.blocklist:
+                continue
+            if not finite[i]:
+                continue
+            country = in_country[i] or None
+            if country is None:
+                continue  # extract.py:238-243 drop-if-no-country
+            search = self._search_level(country)
+            if self.level == 2:
+                state = in_state[i] or None
+                if state is None:
+                    continue  # extract.py:334-338 drop-if-no-state
+                parent = state
+            else:
+                parent = country
+            if search is None or r["admin_level"] != str(search):
+                continue
+            rows["osm_id"].append(r["osm_id"])
+            rows["name"].append(r["name_en"])
+            rows["name_en"].append(r["name_en"])
+            rows["adminlevel"].append(int(r["admin_level"]))
+            rows["iso3166"].append(None)  # only level 0 carries iso3166
+            rows["is_in"].append(parent)
+            rows["geom_wkb"].append(r["geom_wkb"])
+        return _accept_table(rows)
+
+
+def accept_hierarchy_level(norm, level: int, parent_tables: list[pa.Table],
+                           blocklist: frozenset[str], *,
+                           mapping_default: dict | None = None,
+                           mapping_overrides: dict | None = None,
+                           concurrency=None) -> pa.Table:
+    """Run pass 1 or 2 as an actor-pool map_batches over the normalized
+    Dataset, parent tables broadcast via ray.put."""
+    import ray
+
+    refs = [ray.put(t) for t in parent_tables]
+    bl_ref = ray.put(blocklist)
+    md = mapping_default if mapping_default is not None else bsrc.ADMIN_MAPPING_DEFAULT
+    mo = mapping_overrides if mapping_overrides is not None else bsrc.ADMIN_MAPPING_OVERRIDES
+    ds = norm.map_batches(
+        _HierarchyPass,
+        batch_format="pyarrow",
+        batch_size=1024,
+        zero_copy_batch=True,
+        fn_constructor_kwargs=dict(level=level, refs=refs, blocklist=bl_ref,
+                                   mapping_default=md, mapping_overrides=mo),
+        concurrency=concurrency if concurrency is not None else (1, 4),
+    )
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    tables = [t for t in tables if t.num_rows]
+    return (pa.concat_tables(tables) if tables
+            else _accept_table({k: [] for k in _ACCEPT_SCHEMA.names}))
+
+
+# ---------------------------------------------------------------------------
+# full pipeline + check files
+# ---------------------------------------------------------------------------
+
+@dataclass
+class HierarchyResult:
+    levels: dict[int, pa.Table] = field(default_factory=dict)
+    discards: pa.Table | None = None
+    problems: pa.Table | None = None
+    unusable: frozenset[str] = frozenset()
+
+
+def extract_hierarchy(raw, *, mapping_default: dict | None = None,
+                      mapping_overrides: dict | None = None,
+                      concurrency=None) -> HierarchyResult:
+    """The §3.1 lifecycle: normalize once, then level barriers 0 -> 1 -> 2.
+
+    The normalized Dataset is materialized once (boundary tables are the
+    small side of the engine — the big side is pages); each accepted level
+    is a plain Arrow table, broadcast into the next pass's actor pool."""
+    norm = normalized(raw).materialize()
+    res = HierarchyResult()
+    res.problems = problems_table(norm)
+    res.discards = discards_table(norm)
+    res.unusable = unusable_ids(norm)
+    res.levels[0] = accept_level0(norm)
+    res.levels[1] = accept_hierarchy_level(
+        norm, 1, [res.levels[0]], res.unusable,
+        mapping_default=mapping_default, mapping_overrides=mapping_overrides,
+        concurrency=concurrency)
+    res.levels[2] = accept_hierarchy_level(
+        norm, 2, [res.levels[0], res.levels[1]], res.unusable,
+        mapping_default=mapping_default, mapping_overrides=mapping_overrides,
+        concurrency=concurrency)
+    return res
+
+
+def check_file_diffs(extracted: dict[int, pa.Table],
+                     golden: dict[int, set[str]]) -> dict[int, dict[str, set[str]]]:
+    """A3 golden id-set regression (extract.py:27-61): per level,
+    missing = golden - extracted, new = extracted - golden."""
+    out: dict[int, dict[str, set[str]]] = {}
+    for level, table in extracted.items():
+        got = set(table["osm_id"].to_pylist())
+        want = golden.get(level, set())
+        out[level] = {"missing": want - got, "new": got - want}
+    return out
+
+
+def write_check_files(diffs: dict[int, dict[str, set[str]]], out_dir: str) -> None:
+    """Write admin_{k}_{missing,new}.txt (write_admin_check_files analogue,
+    extract.py:44-61): sorted, one id per line."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for level, d in diffs.items():
+        for kind in ("missing", "new"):
+            path = os.path.join(out_dir, f"admin_{level}_{kind}.txt")
+            with open(path, "w") as f:
+                for osm_id in sorted(d[kind]):
+                    f.write(f"{osm_id}\n")
+
+
+def route_by_level(norm, out_dir: str) -> None:
+    """extract_all.py:92-121 (M12): single pass routing every usable feature
+    to per-admin-level partitions — Ray-native partitioned parquet write
+    (partition dirs adminlevel=1..10 replace ten shapefile sinks)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = []
+        lvl_out = []
+        lvls = batch["admin_level"].to_pylist()
+        reasons = batch["reason"].to_pylist()
+        ids_ = batch["osm_id"].to_pylist()
+        for i in range(batch.num_rows):
+            ok = (reasons[i] is None and ids_[i] is not None
+                  and lvls[i] is not None and lvls[i].isdigit()
+                  and 1 <= int(lvls[i]) <= 10)
+            keep.append(ok)
+            lvl_out.append(int(lvls[i]) if ok and lvls[i] is not None
+                           and lvls[i].isdigit() else 0)
+        out = batch.append_column("adminlevel_part",
+                                  pa.array(lvl_out, pa.int32()))
+        return out.filter(pa.array(keep))
+
+    routed = norm.map_batches(fn, batch_format="pyarrow") \
+        .select_columns(["osm_id", "name", "name_en", "admin_level",
+                         "iso3166", "geom_wkb", "adminlevel_part"])
+    routed.write_parquet(out_dir, partition_cols=["adminlevel_part"])
