@@ -224,7 +224,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_hierarchy": _q_boundary_hierarchy,
         "boundary_discards": _q_boundary_discards,
         "boundary_problems": _q_boundary_problems,
+        "ancestry": _q_ancestry,
     }
+
+
+def _q_ancestry(sf_dir: str):
+    """J4 ancestry view (proc_functions.sql:337-362) on the extracted
+    hierarchy; ids match the clean fixture so the oracle inlines VALUES."""
+    from posm_ray.pipelines import boundary, dissolve
+    from posm_ray.sources import boundaries as bsrc2
+
+    res = boundary.extract_hierarchy(bsrc2.raw_boundaries())
+    return dissolve.ancestry(res.levels).select(
+        ["osm_id", "is_in_state", "is_in_country"])
+
+
+def _ancestry_sql() -> str:
+    return f"""
+WITH b1 AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(1)})
+            AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
+     b2 AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(2)})
+            AS t(osm_id, parent_id, minx, miny, maxx, maxy))
+SELECT b2.osm_id AS osm_id, b2.parent_id AS is_in_state,
+       b1.parent_id AS is_in_country
+FROM b2 JOIN b1 ON b2.parent_id = b1.osm_id
+"""
 
 
 def _q_boundary_hierarchy(sf_dir: str):
@@ -309,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": textops.FINGERPRINTS_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
+        "ancestry": _ancestry_sql(),
         # lang_quality / minhash / simhash / knn_geo / ann_cosine:
         # intentionally omitted (heuristic or float-order-sensitive) ->
         # driver records rows-only checks.

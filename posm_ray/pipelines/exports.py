@@ -1,0 +1,129 @@
+"""Export sinks: osmosis .poly writer (K6) and per-country fan-out (K7).
+
+- ``poly_text`` / ``write_polys``: extract_poly.py:72-156 rebuilt — exact
+  osmosis format: name line ``{ISO}_{osm_id}``, ring-number lines (inner
+  rings prefixed '!'), coords formatted ``   %.6E   %.6E``, 'END' per ring
+  and at file end; geometry is buffer+simplify with the containment
+  feedback loop (checkGeom, extract_poly.py:51-69). Features without an
+  ISO3166 code are skipped (extract_poly.py:74-77).
+- ``per_country_files``: generate_geojson.py:144-376 rebuilt — the N
+  filtered scans become ONE ``groupby('is_in_country').map_groups`` shuffle
+  writing per-country JSON files (J5 mapping).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geom import kernels, wkb
+
+
+def format_coord(x: float, y: float) -> str:
+    """``'   %.6E   %.6E' % (x, y)`` — extract_poly.py:135 (golden-sensitive
+    float formatting, SURVEY.md §7.5.6)."""
+    return "   %.6E   %.6E" % (x, y)
+
+
+def poly_text(name: str, rings: list[np.ndarray]) -> str:
+    """Osmosis poly body for one feature. Ring 0 of each part is outer
+    (ring-number i+1); later rings inner ('!%d'). Our flat even-odd ring
+    lists treat each ring as its own part's outer ring unless it is
+    enclosed by the previous outer (then it's an inner ring)."""
+    lines = [name]
+    outer: np.ndarray | None = None
+    idx_in_part = 0
+    for ring in rings:
+        p = ring[0]
+        is_inner = (outer is not None
+                    and kernels.points_in_ring(
+                        np.array([p[0]]), np.array([p[1]]), outer)[0])
+        if is_inner:
+            idx_in_part += 1
+            lines.append("!%d" % (idx_in_part + 1))
+        else:
+            outer = ring
+            idx_in_part = 0
+            lines.append("1")
+        for x, y in ring:
+            lines.append(format_coord(x, y))
+        lines.append("END")
+    lines.append("END")
+    return "\n".join(lines) + "\n"
+
+
+def build_poly(rings: list[np.ndarray], buffer_dist: float = 0.0,
+               simplify_dist: float = 0.0) -> list[np.ndarray]:
+    """Buffer+simplify with containment feedback per ring (checkGeom,
+    extract_poly.py:51-69) when distances are set; passthrough otherwise."""
+    if buffer_dist == 0.0 and simplify_dist == 0.0:
+        return rings
+    return [kernels.simplify_covering(r, buffer_dist, simplify_dist)
+            for r in rings]
+
+
+def write_polys(boundaries: pa.Table, out_dir: str, *,
+                buffer_dist: float = 0.0, simplify_dist: float = 0.0) -> list[str]:
+    """One .poly file per feature with an iso3166 code:
+    ``{ISO}_{osm_id}.poly`` (extract_poly.py:79-81). Returns written names."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for r in boundaries.to_pylist():
+        iso = r.get("iso3166")
+        if not iso:
+            continue  # extract_poly.py:74-77
+        name = f"{iso}_{r['osm_id']}"
+        rings = wkb.wkb_to_rings(r["geom_wkb"])
+        rings = build_poly(rings, buffer_dist, simplify_dist)
+        with open(os.path.join(out_dir, f"{name}.poly"), "w") as f:
+            f.write(poly_text(name, rings))
+        written.append(name)
+    return written
+
+
+# ---------------------------------------------------------------------------
+# per-country fan-out (K7)
+# ---------------------------------------------------------------------------
+
+def per_country_files(view2, out_dir: str):
+    """generate_geojson.py's per-country fan-out as one shuffle:
+    level-2 view rows grouped by is_in_country; each group writes
+    ``{country}_admin2.json`` with the fields the reference emits
+    (osm_id, name, name_en, is_in_country, is_in_state) + ring GeoJSON.
+    ``view2``: Dataset or Arrow table shaped like simple_admin_2_view."""
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = rd.from_arrow(view2) if isinstance(view2, pa.Table) else view2
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        country = g["is_in_country"].iloc[0]
+        features = []
+        for r in g.sort_values("osm_id").itertuples():
+            rings = wkb.wkb_to_rings(r.wkb_geometry)
+            features.append({
+                "type": "Feature",
+                "properties": {
+                    "osm_id": r.osm_id, "name": r.name,
+                    "name_en": r.name_en,
+                    "is_in_country": r.is_in_country,
+                    "is_in_state": r.is_in_state,
+                },
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[np.asarray(ring).tolist()]
+                                    for ring in rings],
+                },
+            })
+        path = os.path.join(out_dir, f"{country}_admin2.json")
+        with open(path, "w") as f:
+            json.dump({"type": "FeatureCollection", "features": features},
+                      f, sort_keys=True)
+        return pd.DataFrame({"country": [country], "n_features": [len(features)]})
+
+    return ds.groupby("is_in_country").map_groups(
+        write_group, batch_format="pandas")
