@@ -21,7 +21,7 @@ from collections.abc import Callable
 from typing import Any
 
 from posm_ray import cells
-from posm_ray.pipelines import flagship, relational, textops
+from posm_ray.pipelines import flagship, relational, textops, vectors
 from posm_ray.sources import boundaries as bsrc
 from posm_ray.sources import synth
 
@@ -213,19 +213,142 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textops.fingerprints,
         "dedup_exact": textops.dedup_exact_winners,
         "noisy_documents": textops.noisy_documents,
+        "ngram_jaccard": textops.ngram_jaccard,
+        "embedding_dups": vectors.embedding_dups,
         # heuristic / non-SQL ops (rows-only checks)
         "lang_quality": textops.lang_quality,
         "minhash_near_dups": textops.minhash_near_dups,
         "simhash_near_dups": textops.simhash_near_dups,
         "knn_geo": _q_knn_geo,
         "ann_cosine": _q_ann_cosine,
+        "ann_cosine_lsh": vectors.ann_lsh,
+        # multimodal plumbing (deterministic fake codec; decode metadata is
+        # doc_id-derived, so decode + frame sampling ARE oracle-checked)
+        "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
+        "media_embed": _q_media_embed,
         # posm boundary-extraction semantics (deterministic fixture input;
         # rows-only — WKB fixture not SQL-inlinable)
         "boundary_hierarchy": _q_boundary_hierarchy,
         "boundary_discards": _q_boundary_discards,
         "boundary_problems": _q_boundary_problems,
         "ancestry": _q_ancestry,
+        "all_geom": _q_all_geom,
+        "simple_admin": _q_simple_admin,
+        "poly_export": _q_poly_export,
     }
+
+
+def _q_media_decode(sf_dir: str):
+    """Media decode actor pool over opaque binary payloads; metadata columns
+    only (mean_byte is xorshift-derived, not SQL-expressible — projected
+    away so the remaining columns hash-match the oracle)."""
+    from posm_ray.stages import multimodal as mm
+
+    ds = mm.decoded_media(mm.media_table(sf_dir))
+    return ds.select_columns(["doc_id", "media_type", "decoded_ok", "width",
+                              "height", "n_frames", "sample_rate"])
+
+
+def _media_decode_sql() -> str:
+    # twin of multimodal.make_payload's header synthesis
+    return """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       TRUE AS decoded_ok,
+       CAST(16 + (doc_id % 8) * 16 AS INT) AS width,
+       CAST(16 + (doc_id % 5) * 16 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 8 + doc_id % 24 END AS INT)
+         AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT)
+         AS sample_rate
+FROM documents
+"""
+
+
+def _q_media_frames(sf_dir: str):
+    """Video frame sampling (flat_map explode, every 4th frame)."""
+    from posm_ray.stages import multimodal as mm
+
+    ds = mm.frame_sample(mm.media_table(sf_dir), every_k=4)
+    return ds.select_columns(["doc_id", "frame_index"])
+
+
+def _media_frames_sql() -> str:
+    return """
+SELECT doc_id, CAST(f AS INT) AS frame_index
+FROM documents, UNNEST(range(0, 8 + doc_id % 24, 4)) AS t(f)
+WHERE doc_id % 3 = 2
+"""
+
+
+def _q_media_embed(sf_dir: str):
+    """Media feature extraction (fake model: byte-hist random projection,
+    built once per actor) — rows-only check (float vectors)."""
+    from posm_ray.stages import multimodal as mm
+
+    return mm.media_embeddings(mm.media_table(sf_dir))
+
+
+def _boundary_levels():
+    from posm_ray.pipelines import boundary
+    from posm_ray.sources import boundaries as bsrc2
+
+    return boundary.extract_hierarchy(bsrc2.raw_boundaries()).levels
+
+
+def _q_all_geom(sf_dir: str):
+    """A2 deconstruct_geometry attributes (proc_functions.sql:86-200):
+    synthetic 'xxx' hole-filler rows included — rows-only (geometry logic
+    not SQL-expressible without PostGIS)."""
+    from posm_ray.pipelines import dissolve
+
+    return dissolve.deconstruct_geometry(_boundary_levels()) \
+        .drop_columns(["geom_wkb"])
+
+
+def _q_simple_admin(sf_dir: str):
+    """A6+A1 simplify_dissolve outputs: per-level simplified tables as
+    (level, osm_id, n_rings) — rows-only (geometry)."""
+    import pyarrow as pa
+
+    from posm_ray.geom import wkb as wkb_mod
+    from posm_ray.pipelines import dissolve
+
+    levels = _boundary_levels()
+    all_geom = dissolve.deconstruct_geometry(levels)
+    simple = dissolve.simplify_dissolve(levels, all_geom)
+    lvl_col, id_col, nring = [], [], []
+    for lvl, tab in sorted(simple.items()):
+        for r in tab.to_pylist():
+            lvl_col.append(lvl)
+            id_col.append(r["osm_id"])
+            nring.append(len(wkb_mod.wkb_to_rings(r["geom_wkb"])))
+    return pa.table({"level": pa.array(lvl_col, pa.int32()),
+                     "osm_id": pa.array(id_col, pa.string()),
+                     "n_rings": pa.array(nring, pa.int64())})
+
+
+def _q_poly_export(sf_dir: str):
+    """K6 .poly formatting (extract_poly.py:72-156): exact osmosis text per
+    iso3166-coded boundary — rows-only (golden format pytest-pinned)."""
+    import pyarrow as pa
+
+    from posm_ray.geom import wkb as wkb_mod
+    from posm_ray.pipelines import exports
+
+    levels = _boundary_levels()
+    names, bodies = [], []
+    for r in levels[0].to_pylist():
+        if not r.get("iso3166"):
+            continue
+        name = f"{r['iso3166']}_{r['osm_id']}"
+        names.append(name)
+        bodies.append(exports.poly_text(name,
+                                        wkb_mod.wkb_to_rings(r["geom_wkb"])))
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "body": pa.array(bodies, pa.string())})
 
 
 def _q_ancestry(sf_dir: str):
@@ -334,7 +457,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
         "ancestry": _ancestry_sql(),
-        # lang_quality / minhash / simhash / knn_geo / ann_cosine:
-        # intentionally omitted (heuristic or float-order-sensitive) ->
-        # driver records rows-only checks.
+        "ngram_jaccard": textops.NGRAM_JACCARD_SQL,
+        "embedding_dups": vectors.EMBEDDING_DUPS_SQL,
+        "media_decode": _media_decode_sql(),
+        "media_frames": _media_frames_sql(),
+        # lang_quality / minhash / simhash / knn_geo / ann_cosine /
+        # ann_cosine_lsh / media_embed / all_geom / simple_admin /
+        # poly_export: intentionally omitted (heuristic, float-order-
+        # sensitive, or geometry-valued) -> driver records rows-only checks.
     }

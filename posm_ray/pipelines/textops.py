@@ -189,3 +189,70 @@ def simhash_near_dups(sf_dir: str):
     """SimHash hamming<=6 pairs over the noisy corpus (rows-only check)."""
     docs = noisy_documents(sf_dir)
     return dedup_stage.simhash_pairs(docs, max_hamming=6)
+
+
+NGRAM_SUBSET_MAX = 120       # base doc_id cap for the all-pairs subset
+NGRAM_JACCARD_THRESHOLD = 0.3
+
+
+def ngram_jaccard(sf_dir: str):
+    """Exact char-5-gram Jaccard over ALL pairs of a deterministic subset of
+    the noisy corpus (base doc_id <= NGRAM_SUBSET_MAX plus its injected
+    duplicates). This is the verify kernel of the minhash pipeline run
+    without the LSH candidate filter, so it IS SQL-expressible and
+    oracle-checked: jaccard = |A∩B| / |A∪B| over distinct 5-gram sets, an
+    exact integer division in float64 on both sides.
+
+    Scale shape: pair generation is the broadcast-small-side pattern —
+    gram sets for the subset are ray.put once; the pair list streams
+    through map_batches."""
+    import ray
+    import ray.data as rd
+
+    from ..functions import hashing
+
+    def subset(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.select(["doc_id", "text"]).filter(
+            pa.array(did % 1_000_000 <= NGRAM_SUBSET_MAX))
+
+    texts: dict[int, str] = {}
+    for b in noisy_documents(sf_dir).map_batches(
+            subset, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            texts[int(i)] = t
+
+    ids = np.asarray(sorted(texts), dtype=np.int64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    pairs = rd.from_arrow(pa.table({"a": ids[ai], "b": ids[bi]}))
+    grams_ref = ray.put({i: hashing.char_ngrams(t, 5) for i, t in texts.items()})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        g = ray.get(grams_ref) if not isinstance(grams_ref, dict) else grams_ref
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        j = [hashing.jaccard(g[x], g[y]) for x, y in zip(a, b)]
+        out = batch.append_column("jaccard", pa.array(j, pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"],
+                                           NGRAM_JACCARD_THRESHOLD))
+
+    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=4096)
+
+
+_NGRAM_SET_SQL = """CASE WHEN len(text) < 5 THEN [text]
+    ELSE list_distinct(list_transform(range(1, len(text) - 3),
+                                      i -> substr(text, i, 5))) END"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH noisy AS ({NOISY_DOCUMENTS_SQL}),
+sub AS (
+  SELECT doc_id, {_NGRAM_SET_SQL} AS g
+  FROM noisy WHERE doc_id % 1000000 <= {NGRAM_SUBSET_MAX}
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g)) AS jaccard
+FROM sub x JOIN sub y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g))
+      >= {NGRAM_JACCARD_THRESHOLD}
+"""

@@ -1,0 +1,152 @@
+"""Embedding-vector pipelines: cosine near-dup dedup + ANN variants.
+
+Graft mandate (training-data ops): embedding-cosine near-dup detection and
+approximate-nearest-neighbor search over the ``embeddings`` table
+(``vec_id:int64, embedding:list<float>``).
+
+- ``noisy_embeddings``: injects deterministic duplicates (exact copies at
+  ``vec_id+1_000_000`` for ``vec_id % 13 == 0``; +0.02-shifted near copies
+  at ``vec_id+2_000_000`` for ``vec_id % 17 == 0``) so the dedup operators
+  have real work. SQL-expressible -> the dup query stays oracle-checked.
+- ``embedding_dups``: all-pairs cosine >= threshold over the noisy table.
+  Brute-force verify baseline: the candidate matrix is the broadcast small
+  side (``ray.put`` once, read per actor), the Dataset streams batches
+  against it — one numpy matmul per batch, ids-only output so the value
+  hash is float-free. The natural max off-diagonal cosine in the synthetic
+  table is ~0.51 and injected dups are >= ~0.97, so threshold 0.9 is
+  decision-stable across float32 (DuckDB list_cosine_similarity) vs
+  float64 (numpy).
+- ``ann_lsh``: random-hyperplane-bucketed ANN (the scale path — at 10^12
+  rows brute force is O(n^2); LSH buckets both sides so each query only
+  scans its bucket). Approximate -> rows-only check.
+
+Scale note: ``embedding_dups`` broadcasts the full vector matrix, which is
+right while the table fits a worker heap (10^6 x 64 f32 = 256 MB); beyond
+that the same threshold filter runs over ``ann_lsh`` bucket pairs instead
+(minhash-LSH shape, stages/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DUP_EXACT_MOD = 13
+DUP_NEAR_MOD = 17
+NEAR_EPS = 0.02
+DUP_COS_THRESHOLD = 0.9
+
+
+def _inject(batch: pa.Table, mod: int, offset: int, eps: float) -> pa.Table:
+    vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    b = batch.filter(pa.array(vid % mod == 0))
+    vid2 = pc.add(b["vec_id"], pa.scalar(offset, pa.int64()))
+    if eps:
+        emb = np.asarray(b.column("embedding").to_pylist(), dtype=np.float32)
+        emb = emb + np.float32(eps)
+        emb_col = pa.array(list(emb), pa.list_(pa.float32()))
+    else:
+        emb_col = b["embedding"]
+    return pa.table({"vec_id": vid2, "embedding": emb_col})
+
+
+def noisy_embeddings(sf_dir: str):
+    """embeddings + injected exact/near duplicate vectors (streaming)."""
+    import ray.data as rd
+
+    cols = ["vec_id", "embedding"]
+    base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
+    b2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols) \
+        .map_batches(lambda b: _inject(b, DUP_EXACT_MOD, 1_000_000, 0.0),
+                     batch_format="pyarrow")
+    b3 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols) \
+        .map_batches(lambda b: _inject(b, DUP_NEAR_MOD, 2_000_000, NEAR_EPS),
+                     batch_format="pyarrow")
+    return base.union(b2, b3)
+
+
+NOISY_EMBEDDINGS_SQL = f"""
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+WHERE vec_id % {DUP_EXACT_MOD} = 0
+UNION ALL
+SELECT vec_id + 2000000 AS vec_id,
+       list_transform(embedding, x -> CAST(x + CAST({NEAR_EPS} AS FLOAT) AS FLOAT)) AS embedding
+FROM embeddings WHERE vec_id % {DUP_NEAR_MOD} = 0
+"""
+
+
+def _noisy_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side twin of noisy_embeddings (small broadcast side)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    m_ex = vid % DUP_EXACT_MOD == 0
+    m_nr = vid % DUP_NEAR_MOD == 0
+    ids = np.concatenate([vid, vid[m_ex] + 1_000_000, vid[m_nr] + 2_000_000])
+    mats = np.concatenate(
+        [mat, mat[m_ex], mat[m_nr] + np.float32(NEAR_EPS)])
+    return ids, mats
+
+
+def embedding_dups(sf_dir: str, threshold: float = DUP_COS_THRESHOLD):
+    """All pairs (a < b) with cosine >= threshold over the noisy table.
+    Output ids only (a, b) — float-free value hash."""
+    import ray
+
+    ids, mats = _noisy_matrix(sf_dir)
+    m64 = mats.astype(np.float64)
+    norms = np.linalg.norm(m64, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put({"ids": ids, "mat": m64 / norms})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref) if not isinstance(ref, dict) else ref
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(emb, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (emb / n) @ side["mat"].T  # (B, ALL)
+        bi, ai = np.nonzero(sims >= threshold)
+        a_ids = side["ids"][ai]
+        b_ids = vid[bi]
+        keep = a_ids < b_ids
+        return pa.table({"a": pa.array(a_ids[keep], pa.int64()),
+                         "b": pa.array(b_ids[keep], pa.int64())})
+
+    return noisy_embeddings(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+
+
+EMBEDDING_DUPS_SQL = f"""
+WITH noisy AS ({NOISY_EMBEDDINGS_SQL})
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM noisy x JOIN noisy y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= {DUP_COS_THRESHOLD}
+"""
+
+
+def ann_lsh(sf_dir: str, k: int = 5, nplanes: int = 6,
+            ntables: int = 12):
+    """LSH-bucketed ANN: first 16 vectors as queries (rows-only check —
+    approximate by construction)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..stages import knn
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 16)
+    queries = {
+        "id": head["vec_id"].to_numpy(),
+        "mat": np.asarray(head["embedding"].to_pylist(), dtype=np.float64),
+    }
+    out = knn.ann_cosine_lsh(emb, queries, k=k, nplanes=nplanes,
+                             ntables=ntables)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])

@@ -221,23 +221,28 @@ def ann_cosine_exact(embeddings, queries: dict, *, k: int = 5,
 
 
 def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
-                   seed: int = 42):
-    """LSH-bucketed ANN (the scale path): random-hyperplane signature buckets
-    both sides; top-k computed only within each query's bucket. Approximate —
-    recall depends on nplanes; deterministic planes from ``seed``."""
+                   ntables: int = 8, seed: int = 42):
+    """Multi-table LSH-bucketed ANN (the scale path): ``ntables`` independent
+    random-hyperplane signatures bucket both sides; a candidate is scanned iff
+    it shares a bucket with the query in ANY table (OR-amplification — recall
+    per neighbor ~= 1-(1-p^nplanes)^ntables for per-plane agreement p).
+    Approximate; deterministic planes from ``seed``."""
     qmat = queries["mat"].astype(np.float64)
     dim = qmat.shape[1]
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, nplanes))
+    planes = rng.standard_normal((ntables, dim, nplanes))
+    weights = 1 << np.arange(nplanes)
 
-    def signature(mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ planes) > 0
-        return (bits * (1 << np.arange(nplanes))).sum(axis=1).astype(np.int64)
+    def signatures(mat: np.ndarray) -> np.ndarray:
+        """(n, ntables) int64 bucket ids."""
+        bits = np.einsum("nd,tdp->ntp", mat, planes) > 0
+        return (bits * weights).sum(axis=2).astype(np.int64)
 
-    qsig = signature(qmat)
-    by_bucket: dict[int, list[int]] = {}
-    for i, s in enumerate(qsig):
-        by_bucket.setdefault(int(s), []).append(i)
+    qsig = signatures(qmat)
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    for i in range(qsig.shape[0]):
+        for t in range(ntables):
+            by_bucket.setdefault((t, int(qsig[i, t])), []).append(i)
 
     import ray
 
@@ -251,23 +256,33 @@ def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         embn = emb / norms
-        sig = ((emb @ c["planes"]) > 0)
-        sig = (sig * (1 << np.arange(sig.shape[1]))).sum(axis=1).astype(np.int64)
-        out_q, out_n, out_s = [], [], []
+        pl = c["planes"]
+        nt = pl.shape[0]
+        sig = (np.einsum("nd,tdp->ntp", emb, pl) > 0)
+        sig = (sig * (1 << np.arange(sig.shape[2]))).sum(axis=2).astype(np.int64)
         qmatn = c["qmat"] / np.linalg.norm(c["qmat"], axis=1, keepdims=True)
-        for bucket, qidx in c["qbuckets"].items():
-            mask = sig == bucket
-            if not mask.any():
-                continue
-            sims = qmatn[qidx] @ embn[mask].T
-            sub_vid = vid[mask]
-            for j, qi in enumerate(qidx):
-                s = sims[j]
-                kk = min(c["k"] + 1, len(s))
-                idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-                out_q.append(np.full(len(idx), c["qid"][qi], dtype=np.int64))
-                out_n.append(sub_vid[idx])
-                out_s.append(s[idx])
+        # candidate sets per query: union of bucket matches over all tables
+        cand: dict[int, np.ndarray] = {}
+        for t in range(nt):
+            col = sig[:, t]
+            for (tt, bucket), qidx in c["qbuckets"].items():
+                if tt != t:
+                    continue
+                mask = col == bucket
+                if not mask.any():
+                    continue
+                rows = np.nonzero(mask)[0]
+                for qi in qidx:
+                    prev = cand.get(qi)
+                    cand[qi] = rows if prev is None else np.union1d(prev, rows)
+        out_q, out_n, out_s = [], [], []
+        for qi, rows in cand.items():
+            s = qmatn[qi] @ embn[rows].T
+            kk = min(c["k"] + 1, len(s))
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(idx), c["qid"][qi], dtype=np.int64))
+            out_n.append(vid[rows][idx])
+            out_s.append(s[idx])
         if not out_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),

@@ -1,0 +1,101 @@
+"""Embedding-vector pipelines (vectors.py) + n-gram Jaccard dedup."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+class TestEmbeddingDups:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import vectors
+
+        got = vectors.embedding_dups(SF).to_pandas()
+        want = _con().execute(vectors.EMBEDDING_DUPS_SQL).df()
+        g = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        w = set(map(tuple, want[["a", "b"]].itertuples(index=False)))
+        assert g == w and len(g) > 0
+
+    def test_injected_pairs_found(self, ray_session):
+        """Every exact-dup injection (vec_id, vec_id+1M) must be a pair."""
+        from posm_ray.pipelines import vectors
+
+        got = vectors.embedding_dups(SF).to_pandas()
+        pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        vid = _con().execute(
+            f"SELECT vec_id FROM embeddings WHERE vec_id % "
+            f"{vectors.DUP_EXACT_MOD} = 0").df()["vec_id"]
+        for v in vid:
+            assert (int(v), int(v) + 1_000_000) in pairs
+
+    def test_threshold_margin(self):
+        """Decision stability: no cosine within 0.02 of the threshold, so
+        float32 (SQL) vs float64 (numpy) can't disagree on membership."""
+        from posm_ray.pipelines import vectors
+
+        ids, mats = vectors._noisy_matrix(SF)
+        m = mats.astype(np.float64)
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = n @ n.T
+        iu = np.triu_indices(len(ids), k=1)
+        vals = cos[iu]
+        near = np.abs(vals - vectors.DUP_COS_THRESHOLD) < 0.02
+        assert not near.any()
+
+
+class TestAnnLsh:
+    def test_recall_vs_exact(self, ray_session):
+        """LSH top-1 must recover the exact top-1 for most queries (the
+        injected structure is absent here — plain corpus, recall >= 0.7)."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from posm_ray.pipelines import vectors
+        from posm_ray.stages import knn
+
+        head = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 16)
+        queries = {"id": head["vec_id"].to_numpy(),
+                   "mat": np.asarray(head["embedding"].to_pylist(),
+                                     dtype=np.float64)}
+        emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+        exact = knn.ann_cosine_exact(emb, queries, k=1).to_pandas()
+        approx = vectors.ann_lsh(SF, k=1, nplanes=4, ntables=12).to_pandas()
+        e1 = dict(zip(exact["query_id"], exact["neighbor_id"]))
+        a1 = dict(zip(approx["query_id"], approx["neighbor_id"]))
+        hits = sum(1 for q in e1 if a1.get(q) == e1[q])
+        assert hits / len(e1) >= 0.7
+
+
+class TestNgramJaccard:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.ngram_jaccard(SF).to_pandas()
+        want = _con().execute(textops.NGRAM_JACCARD_SQL).df()
+        cols = ["a", "b", "jaccard"]
+        g = got[cols].sort_values(["a", "b"]).reset_index(drop=True)
+        w = want[cols].sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(g) == len(w) > 0
+        assert (g["a"].to_numpy() == w["a"].to_numpy()).all()
+        assert (g["b"].to_numpy() == w["b"].to_numpy()).all()
+        # identical IEEE division of identical ints -> bitwise equal
+        assert (g["jaccard"].to_numpy() == w["jaccard"].to_numpy()).all()
+
+    def test_near_dups_score_high(self, ray_session):
+        """Injected near-dups (suffix append) must pass the threshold."""
+        from posm_ray.pipelines import textops
+
+        got = textops.ngram_jaccard(SF).to_pandas()
+        near = got[(got["b"] - got["a"]) == 2_000_000]
+        assert len(near) > 0
+        assert (near["jaccard"] > 0.6).all()
+        assert near["jaccard"].median() > 0.85
