@@ -23,6 +23,19 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
+def _merge_small(partials, merge_fn):
+    """Final combine for BOUNDED-cardinality aggregates: the per-batch
+    partials are already reduced to (few groups x num blocks) rows, so the
+    final merge is one task over a repartition(1) — no sort-shuffle
+    machinery (which costs seconds of fixed overhead per groupby at any
+    scale). Valid only while (groups x blocks) fits one task — true for
+    single-digit/thousand-group rollups even at 10^12 input rows; for
+    unbounded keys (per-customer, per-content-hash) use the real
+    groupby shuffle instead."""
+    return partials.repartition(1).map_batches(
+        merge_fn, batch_format="pyarrow", batch_size=None)
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped: per (returnflag, linestatus) sums/avgs/count with a
     date filter, partial-aggregated inside map_batches before the (tiny)
@@ -59,14 +72,13 @@ def pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_c", alias_name="qty_c"),
-        Sum("price_c", alias_name="price_c"),
-        Sum("disc_e4", alias_name="disc_e4"),
-        Sum("n", alias_name="count_order"),
-    )
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby(
+            ["l_returnflag", "l_linestatus"], sort=False).agg(
+            qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
+            disc_e4=("disc_e4", "sum"), count_order=("n", "sum")).reset_index()
+        batch = pa.Table.from_pandas(g, preserve_index=False)
         qty = pc.divide(pc.cast(batch["qty_c"], pa.float64()), pa.scalar(100.0))
         price = pc.divide(pc.cast(batch["price_c"], pa.float64()), pa.scalar(100.0))
         disc = pc.divide(pc.cast(batch["disc_e4"], pa.float64()), pa.scalar(10000.0))
@@ -82,11 +94,7 @@ def pricing_summary(sf_dir: str):
             "count_order": batch["count_order"],
         })
 
-    return partials_finalize(agg, finalize)
-
-
-def partials_finalize(ds, fn):
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return _merge_small(partials, merge)
 
 
 PRICING_SUMMARY_SQL = """
@@ -129,7 +137,11 @@ def top_customers(sf_dir: str, k: int = 10):
             price_c=("price_c", "sum"), n=("price_c", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # partials are pre-reduced (one row per custkey per block); coalesce the
+    # tiny blocks before the per-key sort-shuffle so the reduce fan-in is
+    # O(16^2) objects, not O(blocks^2)
     agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .repartition(16) \
         .groupby("o_custkey").aggregate(Sum("price_c", alias_name="price_c"),
                                         Sum("n", alias_name="n_orders"))
 
@@ -190,11 +202,12 @@ def region_rollup(sf_dir: str):
             bal_c=("bal_c", "sum"), n=("bal_c", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = cust.map_batches(partial, batch_format="pyarrow") \
-        .groupby("r_name").aggregate(Sum("bal_c", alias_name="bal_c"),
-                                     Sum("n", alias_name="n_customers"))
+    partials = cust.map_batches(partial, batch_format="pyarrow")
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby("r_name", sort=False).agg(
+            bal_c=("bal_c", "sum"), n_customers=("n", "sum")).reset_index()
+        batch = pa.Table.from_pandas(g, preserve_index=False)
         return pa.table({
             "r_name": batch["r_name"],
             "n_customers": batch["n_customers"],
@@ -202,7 +215,7 @@ def region_rollup(sf_dir: str):
                                        pa.scalar(100.0)),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return _merge_small(partials, merge)
 
 
 REGION_ROLLUP_SQL = """
@@ -227,7 +240,18 @@ def order_priority(sf_dir: str):
         columns=["o_orderpriority", "o_orderdate"],
         filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
     )
-    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_orderpriority"]).to_pandas() \
+            .groupby("o_orderpriority", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby("o_orderpriority", sort=False)["n"] \
+            .sum().reset_index(name="n_orders")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _merge_small(ds.map_batches(partial, batch_format="pyarrow"), merge)
 
 
 ORDER_PRIORITY_SQL = """
@@ -259,11 +283,13 @@ def events_hourly(sf_dir: str):
             value_c=("value_c", "sum"), n=("value_c", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "hour"]).aggregate(
-            Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n_events"))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def merge(batch: pa.Table) -> pa.Table:
+        # bounded cardinality: (#event_types x #hours) — single merge task
+        g = batch.to_pandas().groupby(["event_type", "hour"], sort=False).agg(
+            value_c=("value_c", "sum"), n_events=("n", "sum")).reset_index()
+        batch = pa.Table.from_pandas(g, preserve_index=False)
         return pa.table({
             "event_type": batch["event_type"],
             # pandas round-trips floor_temporal to [s]; pin the unit to
@@ -274,7 +300,7 @@ def events_hourly(sf_dir: str):
                                      pa.scalar(100.0)),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return _merge_small(partials, merge)
 
 
 EVENTS_HOURLY_SQL = """

@@ -49,19 +49,22 @@ def tile_rollup(join_rows, cell_col: str = "cell_r7"):
     partial per batch -> groupby(cell, domain) [salted shuffle] -> partial
     per batch -> groupby(cell) [tiny shuffle].
     """
-    from ray.data.aggregate import Count, Sum
-
     pairs = join_rows.map_batches(
         lambda b: _partial_pair_counts(b, cell_col), batch_format="pyarrow"
     )
-    per_pair = pairs.groupby(["cell", "domain"]).aggregate(
-        Sum("cnt", alias_name="pair_cnt")
-    )
-    tiles = per_pair.groupby("cell").aggregate(
-        Sum("pair_cnt", alias_name="doc_count"),
-        Count(alias_name="distinct_domains"),
-    )
-    return tiles
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs are pre-reduced per block, so this group holds at most
+        # (#domains x #blocks) rows per cell — ONE shuffle total (vs the
+        # two chained sort-aggregates this replaces)
+        return pd.DataFrame({
+            "cell": [g["cell"].iloc[0]],
+            "doc_count": [int(g["cnt"].sum())],
+            "distinct_domains": [int(g["domain"].nunique())],
+        })
+
+    return pairs.repartition(16).groupby("cell").map_groups(
+        per_cell, batch_format="pandas")
 
 
 def salted_counts(ds, key_col: str, *, nsalt: int = 64, salt_src: str = "doc_id"):
