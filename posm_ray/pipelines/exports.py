@@ -127,3 +127,113 @@ def per_country_files(view2, out_dir: str):
 
     return ds.groupby("is_in_country").map_groups(
         write_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TopoJSON prep tree (K8)
+# ---------------------------------------------------------------------------
+
+def _geojson_feature(osm_id: str, rings, is_boundary: bool = False) -> dict:
+    props = {"osm_id": osm_id}
+    if is_boundary:
+        props["is_boundary"] = 1  # prepare_topojson.py:137-141, 155-159
+    return {
+        "type": "Feature",
+        "properties": props,
+        "geometry": {
+            "type": "MultiPolygon",
+            "coordinates": [[np.asarray(r).tolist()] for r in rings],
+        },
+    }
+
+
+def convert_to_topojson(path: str, require_cli: bool = False) -> bool:
+    """The reference shells out to the node ``topojson`` CLI
+    (prepare_topojson.py:62-75); that binary does not exist in this
+    environment, so the conversion step is a documented stub: with
+    ``require_cli=True`` it raises NotImplementedError, otherwise it
+    returns False (geometry.geojson inputs are still fully written)."""
+    if require_cli:
+        raise NotImplementedError(
+            "node 'topojson' CLI unavailable; geometry.geojson prepared at "
+            + path)
+    return False
+
+
+def topojson_tree(view1, view2, out_dir: str, view0=None):
+    """prepare_topojson.py:78-162 rebuilt: nested dirs
+    ``{out}/{ad0}/geometry.geojson`` (one feature per state + the country
+    marked ``is_boundary=1`` last) and ``{out}/{ad0}/{ad1}/geometry.geojson``
+    (one feature per county + the state marked ``is_boundary=1``).
+
+    The reference's N filtered scans become ONE pass over the level-2 view
+    grouped by (country, state) plus one pass over the level-1 view grouped
+    by country — the J5 mapping. Returns a Dataset of (dir, n_features)
+    rows (one per written file).
+
+    ``view1``/``view2``: Arrow tables shaped like simple_admin_{1,2}_view;
+    ``view0`` (optional): simple_admin_0_view, used for the country
+    ``is_boundary=1`` rows (prepare_topojson.py:155-159).
+    """
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    os.makedirs(out_dir, exist_ok=True)
+    # state geometry lookup for the is_boundary rows (small side)
+    state_geom = {r["osm_id"]: (r["wkb_geometry"], r["is_in_country"])
+                  for r in view1.to_pylist()}
+    country_geom = ({r["osm_id"]: r["wkb_geometry"] for r in view0.to_pylist()}
+                    if view0 is not None else {})
+
+    def write_state_files(part: pd.DataFrame) -> pd.DataFrame:
+        dirs, counts = [], []
+        for (country, state), g in part.groupby(
+                ["is_in_country", "is_in_state"], sort=False):
+            d = os.path.join(out_dir, str(country), str(state))
+            os.makedirs(d, exist_ok=True)
+            feats = [
+                _geojson_feature(r.osm_id, wkb.wkb_to_rings(r.wkb_geometry))
+                for r in g.sort_values("osm_id").itertuples()
+            ]
+            sg = state_geom.get(state)
+            if sg is not None:
+                feats.append(_geojson_feature(
+                    state, wkb.wkb_to_rings(sg[0]), is_boundary=True))
+            with open(os.path.join(d, "geometry.geojson"), "w") as f:
+                json.dump({"type": "FeatureCollection", "features": feats},
+                          f, sort_keys=True)
+            convert_to_topojson(d)
+            dirs.append(d)
+            counts.append(len(feats))
+        return pd.DataFrame({"dir": dirs, "n_features": counts})
+
+    ds2 = rd.from_arrow(view2) if isinstance(view2, pa.Table) else view2
+    state_files = hash_rollup(ds2, ["is_in_country", "is_in_state"],
+                              write_state_files, npartitions=8)
+
+    def write_country_files(part: pd.DataFrame) -> pd.DataFrame:
+        dirs, counts = [], []
+        for country, g in part.groupby("is_in_country", sort=False):
+            d = os.path.join(out_dir, str(country))
+            os.makedirs(d, exist_ok=True)
+            feats = [
+                _geojson_feature(r.osm_id, wkb.wkb_to_rings(r.wkb_geometry))
+                for r in g.sort_values("osm_id").itertuples()
+            ]
+            cg = country_geom.get(country)
+            if cg is not None:
+                feats.append(_geojson_feature(
+                    country, wkb.wkb_to_rings(cg), is_boundary=True))
+            with open(os.path.join(d, "geometry.geojson"), "w") as f:
+                json.dump({"type": "FeatureCollection", "features": feats},
+                          f, sort_keys=True)
+            convert_to_topojson(d)
+            dirs.append(d)
+            counts.append(len(feats))
+        return pd.DataFrame({"dir": dirs, "n_features": counts})
+
+    ds1 = rd.from_arrow(view1) if isinstance(view1, pa.Table) else view1
+    country_files = hash_rollup(ds1, ["is_in_country"], write_country_files,
+                                npartitions=4)
+    return state_files.union(country_files)

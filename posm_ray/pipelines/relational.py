@@ -137,13 +137,18 @@ def top_customers(sf_dir: str, k: int = 10):
             price_c=("price_c", "sum"), n=("price_c", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    # partials are pre-reduced (one row per custkey per block); coalesce the
-    # tiny blocks before the per-key sort-shuffle so the reduce fan-in is
-    # O(16^2) objects, not O(blocks^2)
-    agg = orders.map_batches(partial, batch_format="pyarrow") \
-        .repartition(16) \
-        .groupby("o_custkey").aggregate(Sum("price_c", alias_name="price_c"),
-                                        Sum("n", alias_name="n_orders"))
+    # partials are pre-reduced (one row per custkey per block); hash-exchange
+    # on custkey, vectorized per-partition merge (unbounded key cardinality
+    # -> real shuffle, npartitions is the scale knob)
+    from ..util import hash_rollup
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", sort=False).agg(
+            price_c=("price_c", "sum"), n_orders=("n", "sum")).reset_index()
+
+    agg = hash_rollup(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], merge, npartitions=16)
 
     def finalize(batch: pa.Table) -> pa.Table:
         nm = ray.get(ref) if not isinstance(ref, dict) else ref

@@ -161,8 +161,11 @@ def pages_batch(batch: pa.Table) -> pa.Table:
 
 def read_pages(sf_dir: str, *, replicate: int = 1, columns: list[str] | None = None):
     """Pages Dataset for an sf dir: read documents (column-pruned) and derive
-    the input_hint shape. ``replicate`` > 1 unions shifted copies (distinct
-    doc_ids/urls) for bench-scale inputs."""
+    the input_hint shape. ``replicate`` > 1 explodes each batch into k
+    id-shifted copies (distinct doc_ids/urls) IN-stream for bench-scale
+    inputs — one read, k x rows per block, instead of unioning k reads
+    (which at high CPU counts fragments into thousands of tiny blocks and
+    inverts scaling)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -171,19 +174,15 @@ def read_pages(sf_dir: str, *, replicate: int = 1, columns: list[str] | None = N
         n = _doc_count(sf_dir)
         shift = int(10 ** np.ceil(np.log10(max(n, 1) + 1)))
 
-        def shifted(k: int):
-            def fn(t: pa.Table) -> pa.Table:
+        def explode(t: pa.Table) -> pa.Table:
+            parts = [t]
+            idx = t.schema.get_field_index("doc_id")
+            for k in range(1, replicate):
                 did = pc.add(t.column("doc_id"), pa.scalar(k * shift, pa.int64()))
-                return t.set_column(0, "doc_id", did)
-            return fn
+                parts.append(t.set_column(idx, "doc_id", did))
+            return pa.concat_tables(parts)
 
-        parts = [ds] + [
-            rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text", "lang"])
-            .map_batches(shifted(k), batch_format="pyarrow")
-            for k in range(1, replicate)
-        ]
-        ds = parts[0].union(*parts[1:])
+        ds = ds.map_batches(explode, batch_format="pyarrow")
     ds = ds.map_batches(pages_batch, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)

@@ -19,6 +19,8 @@ import pyarrow as pa
 
 from ..functions import hashing, text as textfn
 
+from ..util import default_pool
+
 
 def add_content_hash(ds, text_col: str = "text"):
     """Vectorized md5 content-hash column (DuckDB twin: md5(text))."""
@@ -33,16 +35,26 @@ def add_content_hash(ds, text_col: str = "text"):
 
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the min-id row per distinct text. Hash-partition on the content
-    hash (the groupby key), per-group first — no full-row shuffle: only
+    hash, vectorized per-partition min — no full-row shuffle: only
     (hash, id) pairs move."""
-    from ray.data.aggregate import Min
+    from ..util import hash_rollup
 
     hashed = add_content_hash(ds, text_col)
-    pairs = hashed.select_columns(["content_hash", id_col])
-    winners = pairs.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="keep_id")
-    )
-    return winners
+    # pre-reduce per block (combiner): one (hash, min-id) row per distinct
+    # hash per block before the exchange
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["content_hash", id_col]).to_pandas() \
+            .groupby("content_hash", sort=False)[id_col].min() \
+            .reset_index(name="keep_id")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = hashed.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("content_hash", sort=False)["keep_id"].min() \
+            .reset_index(name="keep_id")
+
+    return hash_rollup(pairs, ["content_hash"], merge)
 
 
 def dedup_exact_rows(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -103,24 +115,35 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     kwargs = dict(batch_format="pyarrow", batch_size=2048,
                   fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
                                              shingle_width=shingle_width),
-                  concurrency=concurrency if concurrency is not None else (1, 4))
+                  concurrency=concurrency if concurrency is not None else default_pool())
     bands_ds = ds.map_batches(_MinHashBands, **kwargs)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+    from ..util import hash_rollup
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in part.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = hash_rollup(bands_ds, ["band_id", "band_hash"], bucket_pairs)
+
     # dedupe pairs found in multiple bands
-    from ray.data.aggregate import Count
+    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["a", "b"], sort=False).size().reset_index(name="n_bands")
+        g["n_bands"] = g["n_bands"].astype("int64")
+        return g
 
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    return hash_rollup(pairs, ["a", "b"], dedupe)
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, threshold: float = 0.5,
@@ -195,21 +218,24 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
 
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow")
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, rows_h = [], [], []
-        recs = sorted(zip(g["doc_id"], g["simhash"].to_numpy().view(np.uint64)))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                h = hashing.hamming64(int(recs[i][1]), int(recs[j][1]))
-                if h <= max_hamming:
-                    rows_a.append(recs[i][0])
-                    rows_b.append(recs[j][0])
-                    rows_h.append(h)
+        for _, g in part.groupby("bucket", sort=False):
+            recs = sorted(zip(g["doc_id"], g["simhash"].to_numpy().view(np.uint64)))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    h = hashing.hamming64(int(recs[i][1]), int(recs[j][1]))
+                    if h <= max_hamming:
+                        rows_a.append(recs[i][0])
+                        rows_b.append(recs[j][0])
+                        rows_h.append(h)
         return pd.DataFrame({"a": pd.Series(rows_a, dtype=np.int64),
                              "b": pd.Series(rows_b, dtype=np.int64),
                              "hamming": pd.Series(rows_h, dtype=np.int64)})
 
-    return sigs.groupby("bucket").map_groups(bucket_verify, batch_format="pandas")
+    from ..util import hash_rollup
+
+    return hash_rollup(sigs, ["bucket"], bucket_verify)
 
 
 def embedding_near_dups(embeddings, *, threshold: float = 0.95, k: int = 10,

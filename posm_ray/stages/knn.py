@@ -22,6 +22,8 @@ import pyarrow as pa
 from .. import cells
 from ..geom.kernels import haversine_m
 
+from ..util import default_pool
+
 
 class _PartialTopK:
     """map_batches stage: for each broadcast query point, the k nearest
@@ -63,14 +65,20 @@ class _PartialTopK:
         })
 
 
-def _merge_topk(k: int, exclude_self: bool):
+def _merge_topk(k: int, exclude_self: bool, by: str = "dist_m",
+                ascending: bool = True):
+    """Vectorized per-partition top-k merge: ALL queries hashed to this
+    partition in one pandas pass (sort -> per-group head -> cumcount rank);
+    no per-group python dispatch."""
+
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
             g = g[g["neighbor_id"] != g["query_id"]]
-        # deterministic: sort by (dist, neighbor_id) — ties broken by id
-        g = g.sort_values(["dist_m", "neighbor_id"], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        # deterministic: ties broken by neighbor_id
+        g = g.sort_values(["query_id", by, "neighbor_id"],
+                          ascending=[True, ascending, True], kind="mergesort")
+        g = g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = (g.groupby("query_id", sort=False).cumcount() + 1).astype("int64")
         return g
 
     return fn
@@ -82,15 +90,16 @@ def knn_exact(candidates, queries: dict, *, k: int = 5, id_col: str = "doc_id",
     streaming ``candidates`` Dataset (must have id_col, lat, lon)."""
     import ray
 
+    from ..util import hash_rollup
+
     q_ref = ray.put(queries)
     kwargs = dict(batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
                   fn_constructor_kwargs={"q_ref": q_ref, "k": k + (1 if exclude_self else 0),
                                          "id_col": id_col},
-                  concurrency=concurrency if concurrency is not None else (1, 4))
+                  concurrency=concurrency if concurrency is not None else default_pool())
     partial = candidates.map_batches(_PartialTopK, **kwargs)
-    return partial.groupby("query_id").map_groups(
-        _merge_topk(k, exclude_self), batch_format="pandas"
-    )
+    return hash_rollup(partial, ["query_id"], _merge_topk(k, exclude_self),
+                       npartitions=4)
 
 
 def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
@@ -125,6 +134,15 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
 
     sharded = candidates.map_batches(to_shards, batch_format="pyarrow")
 
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        frames = [per_shard(g) for _, g in part.groupby("shard", sort=False)]
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "dist_m": pd.Series([], dtype=np.float64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         shard = g["shard"].iloc[0]
         owners = g[g["home"] == shard]  # points whose home is this shard
@@ -150,7 +168,9 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
                 "rank": np.arange(1, len(order) + 1, dtype=np.int64)}))
         return pd.concat(frames, ignore_index=True)
 
-    return sharded.groupby("shard").map_groups(per_shard, batch_format="pandas")
+    from ..util import hash_rollup
+
+    return hash_rollup(sharded, ["shard"], per_part, npartitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -205,19 +225,14 @@ def ann_cosine_exact(embeddings, queries: dict, *, k: int = 5,
     kwargs = dict(batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
                   fn_constructor_kwargs={"q_ref": q_ref,
                                          "k": k + (1 if exclude_self else 0)},
-                  concurrency=concurrency if concurrency is not None else (1, 4))
+                  concurrency=concurrency if concurrency is not None else default_pool())
     partial = embeddings.map_batches(_CosinePartialTopK, **kwargs)
+    from ..util import hash_rollup
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return hash_rollup(
+        partial, ["query_id"],
+        _merge_topk(k, exclude_self, by="cosine", ascending=False),
+        npartitions=4)
 
 
 def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
@@ -292,13 +307,11 @@ def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
                          "cosine": pa.array(np.concatenate(out_s))})
 
     partial = embeddings.map_batches(per_batch, batch_format="pyarrow")
+    from ..util import hash_rollup
 
+    # drop duplicate candidates found via multiple tables before ranking
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        g = g.drop_duplicates(subset=["query_id", "neighbor_id"])
+        return _merge_topk(k, True, by="cosine", ascending=False)(g)
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return hash_rollup(partial, ["query_id"], merge, npartitions=4)

@@ -25,6 +25,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from ..util import default_pool
+
 MAGIC = b"PMM1"
 MEDIA_TYPES = {0: "image", 1: "audio", 2: "video"}
 _HEADER_FMT = "<4sBHHHI"  # plain string: struct.Struct isn't picklable
@@ -183,11 +185,11 @@ def decoded_media(ds, *, concurrency=None, batch_size: int = 64,
         MediaDecode, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
         fn_constructor_kwargs={"require_real_codec": require_real_codec},
-        concurrency=concurrency if concurrency is not None else (1, 4))
+        concurrency=concurrency if concurrency is not None else default_pool())
 
 
 def media_embeddings(ds, *, concurrency=None, batch_size: int = 64, dim: int = 16):
     return ds.map_batches(
         MediaEmbed, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True, fn_constructor_kwargs={"dim": dim},
-        concurrency=concurrency if concurrency is not None else (1, 4))
+        concurrency=concurrency if concurrency is not None else default_pool())

@@ -113,7 +113,7 @@ class PIPJoin:
 
 
 def pip_joined(extracted, boundaries: pa.Table, *, concurrency=None,
-               batch_size: int = 4096, drop_unmatched: bool = True):
+               batch_size: int | None = None, drop_unmatched: bool = True):
     """extracted Dataset (lat/lon columns) -> join rows Dataset."""
     ref = boundary_ref(boundaries)
     kwargs = dict(
@@ -127,5 +127,7 @@ def pip_joined(extracted, boundaries: pa.Table, *, concurrency=None,
     else:
         # autoscaling pool: min 1 so actor CPUs never starve the
         # shuffle/reduce tasks of downstream all-to-all operators
-        kwargs["concurrency"] = (1, 4)
+        from ..util import default_pool
+
+        kwargs["concurrency"] = default_pool()
     return extracted.map_batches(PIPJoin, **kwargs)

@@ -8,14 +8,16 @@ rows. Naive ``groupby(cell)`` would ship every mega-cell row to one
 reducer. Two defenses, both used here:
 
 1. **Per-batch partial aggregation** inside map_batches: each batch emits at
-   most one row per (cell, domain) — the shuffle moves pre-reduced partials,
-   not raw rows.
-2. **Composite first-stage key** (cell, domain): the hot cell is split
-   across its ~N_DOMAINS distinct domains (a natural salt), then a second,
-   tiny groupby(cell) merges the salted partials.
+   most one row per (cell, domain) — the exchange moves pre-reduced
+   partials, not raw rows, so even the mega-cell ships only
+   (#domains x #blocks) count rows.
+2. **ONE hash exchange** on cell (``util.hash_rollup``) with a vectorized
+   pandas rollup per partition — no per-group python dispatch, no chained
+   sort-aggregates.
 
-For rollups without a natural salt column, ``salted_counts`` salts with
-``doc_id % nsalt``.
+For rollups whose raw rows must move (no natural combiner),
+``salted_counts`` splits hot keys over ``doc_id % nsalt`` sub-keys first
+and merges the salts in a second, tiny exchange.
 """
 
 from __future__ import annotations
@@ -49,22 +51,24 @@ def tile_rollup(join_rows, cell_col: str = "cell_r7"):
     partial per batch -> groupby(cell, domain) [salted shuffle] -> partial
     per batch -> groupby(cell) [tiny shuffle].
     """
+    from ..util import hash_rollup
+
     pairs = join_rows.map_batches(
         lambda b: _partial_pair_counts(b, cell_col), batch_format="pyarrow"
     )
 
-    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        # pairs are pre-reduced per block, so this group holds at most
-        # (#domains x #blocks) rows per cell — ONE shuffle total (vs the
-        # two chained sort-aggregates this replaces)
-        return pd.DataFrame({
-            "cell": [g["cell"].iloc[0]],
-            "doc_count": [int(g["cnt"].sum())],
-            "distinct_domains": [int(g["domain"].nunique())],
-        })
+    # ONE hash exchange on cell (pairs are pre-reduced per block upstream,
+    # so a mega-cell ships counts, not rows), then a vectorized pandas
+    # rollup per partition.
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False).agg(
+            doc_count=("cnt", "sum"),
+            distinct_domains=("domain", "nunique")).reset_index()
+        out["doc_count"] = out["doc_count"].astype("int64")
+        out["distinct_domains"] = out["distinct_domains"].astype("int64")
+        return out
 
-    return pairs.repartition(16).groupby("cell").map_groups(
-        per_cell, batch_format="pandas")
+    return hash_rollup(pairs, ["cell"], rollup)
 
 
 def salted_counts(ds, key_col: str, *, nsalt: int = 64, salt_src: str = "doc_id"):
@@ -79,17 +83,20 @@ def salted_counts(ds, key_col: str, *, nsalt: int = 64, salt_src: str = "doc_id"
         g = df.groupby(["key", "salt"], sort=False).size().reset_index(name="cnt")
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from ..util import hash_rollup
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    per_salt = partials.groupby(["key", "salt"]).aggregate(
-        Sum("cnt", alias_name="salt_cnt")
-    )
-
-    def merge_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby("key", sort=False)["salt_cnt"].sum().reset_index(name="cnt")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    merged = per_salt.map_batches(merge_partial, batch_format="pyarrow")
-    return merged.groupby("key").aggregate(Sum("cnt", alias_name="doc_count"))
+    # partial counts are pre-reduced per (key, salt) per block, so the hash
+    # exchange on (key, salt) spreads a hot key over nsalt partitions; the
+    # salt merge is a second (tiny) exchange on key alone
+    per_salt = hash_rollup(
+        partials, ["key", "salt"],
+        lambda g: g.groupby(["key", "salt"], sort=False)["cnt"].sum()
+        .reset_index(name="salt_cnt"))
+    return hash_rollup(
+        per_salt, ["key"],
+        lambda g: g.groupby("key", sort=False)["salt_cnt"].sum()
+        .reset_index(name="doc_count"))
 
 
 def dissolve_by_parent(boundaries: pa.Table, level: int) -> pa.Table:

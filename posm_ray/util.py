@@ -1,0 +1,35 @@
+"""Shared execution-tuning helpers."""
+
+from __future__ import annotations
+
+
+def hash_rollup(ds, keys: list[str], merge_fn, *, npartitions: int = 16,
+                batch_format: str = "pandas"):
+    """The engine's aggregation primitive: hash-co-locate rows on ``keys``
+    (one all-to-all, HASH_SHUFFLE), then ONE vectorized ``merge_fn`` call
+    per partition block. Replaces groupby().map_groups (python call per
+    group — seconds at 10k+ groups) and chained sort-aggregates.
+    ``npartitions`` is the scale knob: size it ~ cluster cores; skewed keys
+    spread by the hash, and a single mega-key still bounds at one
+    partition's rows — pre-reduce per block upstream before calling this."""
+    return ds.repartition(npartitions, keys=keys).map_batches(
+        merge_fn, batch_format=batch_format, batch_size=None)
+
+
+def default_pool(min_size: int = 1) -> tuple[int, int]:
+    """Default actor-pool ``concurrency`` for stateful map_batches stages:
+    autoscale between ``min_size`` and the cluster CPU count (Ray only adds
+    actors under load, so a generous max costs nothing when idle). A fixed
+    small max silently caps throughput as CPUs grow — the single biggest
+    anti-scaling footgun we hit."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            n = int(ray.cluster_resources().get("CPU", 4))
+            # min = n//8: pre-warms a few actors so the pool ramp doesn't
+            # serialize behind the first blocks at high CPU counts
+            return (max(min_size, n // 8), max(4, n))
+    except Exception:
+        pass
+    return (min_size, 8)

@@ -123,3 +123,37 @@ def test_per_country_files(levels, all_geom, ray_session, tmp_path):
         fc = json.load(f)
     assert len(fc["features"]) == 16
     assert fc["features"][0]["properties"]["is_in_country"] == "R1000"
+
+
+def test_topojson_tree(levels, all_geom, ray_session, tmp_path):
+    import json
+    import os
+
+    simple = dissolve.simplify_dissolve(levels, all_geom)
+    v0 = dissolve.simple_admin_view(levels, simple, 0)
+    v1 = dissolve.simple_admin_view(levels, simple, 1)
+    v2 = dissolve.simple_admin_view(levels, simple, 2)
+    # view0 lacks is_in_country; key country boundary lookup by osm_id
+    out = str(tmp_path / "topo")
+    res = exports.topojson_tree(v1, v2, out, view0=v0).to_pandas()
+    assert len(res) > 0
+    # nested layout: {out}/{ad0}/geometry.geojson and {out}/{ad0}/{ad1}/...
+    countries = [d for d in os.listdir(out)
+                 if os.path.isdir(os.path.join(out, d))]
+    assert sorted(countries) == ["R1000", "R2000", "R3000"]
+    with open(os.path.join(out, "R1000", "geometry.geojson")) as f:
+        fc = json.load(f)
+    # states + the country itself marked is_boundary=1 (last feature)
+    assert fc["features"][-1]["properties"] == {
+        "is_boundary": 1, "osm_id": "R1000"}
+    state_dirs = [d for d in os.listdir(os.path.join(out, "R1000"))
+                  if os.path.isdir(os.path.join(out, "R1000", d))]
+    assert len(state_dirs) > 0
+    sd = sorted(state_dirs)[0]
+    with open(os.path.join(out, "R1000", sd, "geometry.geojson")) as f:
+        fc1 = json.load(f)
+    assert fc1["features"][-1]["properties"]["is_boundary"] == 1
+    assert fc1["features"][-1]["properties"]["osm_id"] == sd
+    # the CLI conversion itself is stubbed (no node topojson binary)
+    with pytest.raises(NotImplementedError):
+        exports.convert_to_topojson(out, require_cli=True)
