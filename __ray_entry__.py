@@ -236,7 +236,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_geom": _q_all_geom,
         "simple_admin": _q_simple_admin,
         "poly_export": _q_poly_export,
+        "resumable_tiles": _q_resumable_tiles,
     }
+
+
+def _q_resumable_tiles(sf_dir: str):
+    """Flagship tile rollup through the checkpoint/lineage writer, run
+    TWICE into the same directory: the second run must skip every
+    completed partition (resume semantics exercised end-to-end). Returns
+    the per-partition manifest table (rows-only check — bytes/checksums
+    are layout-dependent)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from posm_ray.pipelines import flagship as fs
+    from posm_ray.state import checkpoint
+
+    out = tempfile.mkdtemp(prefix="posm_resume_", dir="/tmp")
+    try:
+        first = fs.tiles_resumable(sf_dir, out)
+        second = fs.tiles_resumable(sf_dir, out)
+        assert first["skipped"] == 0 and second["written"] == []
+        mans = checkpoint.read_manifests(out)
+        return pa.table({
+            "key": pa.array([m["key"] for m in mans], pa.string()),
+            "rows": pa.array([m["rows"] for m in mans], pa.int64()),
+            "files": pa.array([m["files"] for m in mans], pa.int64()),
+            "resumed_skipped": pa.array([second["skipped"]] * len(mans),
+                                        pa.int64()),
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _q_media_decode(sf_dir: str):

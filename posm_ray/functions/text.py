@@ -156,3 +156,32 @@ def stopword_hits(text: str, lang: str = "en") -> int:
     markers = _LANG_MARKERS.get(lang, _LANG_MARKERS["en"])
     padded = f" {text.lower()} "
     return sum(padded.count(m) for m in markers)
+
+
+def decode_double_utf8(value: str | None) -> str | None:
+    """M10 rebuild (extract_overpass.py:41-52, ``decode_utf8``): un-escape a
+    doubly-encoded UTF-8 property string — ``'Z\\xc3\\xbcrich'`` (literal
+    backslash escapes of the utf-8 bytes) becomes ``'Zürich'``. Falls back
+    to plain string evaluation on SyntaxError like the reference; returns
+    falsy input unchanged."""
+    import ast
+
+    if not value:
+        return value
+    try:
+        return ast.literal_eval('b"%s"' % value).decode("utf8")
+    except SyntaxError:
+        return ast.literal_eval('"%s"' % value)
+
+
+def decode_double_utf8_batch(values: list[str | None]) -> list[str | None]:
+    """Vectorized wrapper with a per-row error guard: undecodable rows pass
+    through unchanged (the normalization stage must never drop rows for a
+    bad property escape)."""
+    out = []
+    for v in values:
+        try:
+            out.append(decode_double_utf8(v))
+        except (SyntaxError, ValueError, UnicodeDecodeError):
+            out.append(v)
+    return out

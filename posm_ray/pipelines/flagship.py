@@ -42,3 +42,14 @@ def tiles(sf_dir: str, *, replicate: int = 1, concurrency=None,
 def flagship(sf_dir: str = "/root/testdata/sf0.001", **kw):
     """Driver smoke entry: the tile rollup Dataset (small, stable schema)."""
     return tiles(sf_dir, **kw)
+
+
+def tiles_resumable(sf_dir: str, out_dir: str, **kw) -> dict:
+    """Flagship with per-partition lineage checkpoints (north rule): tile
+    rollup written hive-partitioned by coarse cell range with a manifest per
+    completed partition; a killed run re-invokes this and skips completed
+    ranges (see posm_ray.state.checkpoint)."""
+    from ..state import checkpoint
+
+    t = tiles(sf_dir, **kw)
+    return checkpoint.resumable_write(t, out_dir, cell_col="cell")

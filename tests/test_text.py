@@ -171,3 +171,21 @@ class TestIds:
     def test_decode_utf8_escapes(self):
         got = ids.decode_utf8_escapes([r"caf\xc3\xa9", None, "plain"])
         assert got == ["café", None, "plain"]
+
+
+class TestDecodeDoubleUtf8:
+    """M10 (extract_overpass.py:41-52): doubly-encoded UTF-8 un-escape."""
+
+    def test_escaped_bytes(self):
+        assert text.decode_double_utf8('Z\\xc3\\xbcrich') == 'Zürich'
+
+    def test_passthrough(self):
+        assert text.decode_double_utf8('plain') == 'plain'
+        assert text.decode_double_utf8('') == ''
+        assert text.decode_double_utf8(None) is None
+
+    def test_batch_guards_bad_rows(self):
+        got = text.decode_double_utf8_batch(
+            ['Z\\xc3\\xbcrich', None, 'a"b', 'न\\xe0\\xa5\\x87'])
+        assert got[0] == 'Zürich'
+        assert got[2] == 'a"b'  # unparseable escape passes through
