@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_geo": _q_knn_geo,
         "ann_cosine": _q_ann_cosine,
         "ann_cosine_lsh": vectors.ann_lsh,
+        "ann_cosine_ivf": vectors.ann_ivf,
         # multimodal plumbing (deterministic fake codec; decode metadata is
         # doc_id-derived, so decode + frame sampling ARE oracle-checked)
         "media_decode": _q_media_decode,

@@ -77,8 +77,11 @@ def run_headline(sf_dir: str) -> tuple[float, int]:
 
 def run_queries(sf_dir: str) -> dict[str, float]:
     """Per-pipeline wall times (each fully consumed)."""
-    from posm_ray.pipelines import flagship, relational, textops
+    import __ray_entry__ as entrymod
 
+    from posm_ray.pipelines import flagship, relational, textops, vectors
+
+    qs = entrymod.queries()
     timings: dict[str, float] = {}
 
     def timed(name, fn):
@@ -92,10 +95,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("tiles_r7", lambda: flagship.tiles(sf_dir))
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir))
     timed("top_customers", lambda: relational.top_customers(sf_dir))
+    timed("region_rollup", lambda: relational.region_rollup(sf_dir))
     timed("events_hourly", lambda: relational.events_hourly(sf_dir))
     timed("token_counts", lambda: textops.token_counts(sf_dir))
     timed("dedup_exact", lambda: textops.dedup_exact_winners(sf_dir))
     timed("simhash_near_dups", lambda: textops.simhash_near_dups(sf_dir))
+    timed("minhash_near_dups", lambda: textops.minhash_near_dups(sf_dir))
+    timed("ngram_jaccard", lambda: textops.ngram_jaccard(sf_dir))
+    timed("embedding_dups", lambda: vectors.embedding_dups(sf_dir))
+    timed("ann_cosine", lambda: qs["ann_cosine"](sf_dir))
+    timed("knn_geo", lambda: qs["knn_geo"](sf_dir))
+    timed("media_decode", lambda: qs["media_decode"](sf_dir))
+    timed("resumable_tiles", lambda: qs["resumable_tiles"](sf_dir))
     return timings
 
 

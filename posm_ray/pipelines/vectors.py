@@ -150,3 +150,22 @@ def ann_lsh(sf_dir: str, k: int = 5, nplanes: int = 6,
     out = knn.ann_cosine_lsh(emb, queries, k=k, nplanes=nplanes,
                              ntables=ntables)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def ann_ivf(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 6):
+    """IVF-bucketed ANN: first 16 vectors as queries (rows-only check —
+    approximate by construction)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..stages import knn
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 16)
+    queries = {
+        "id": head["vec_id"].to_numpy(),
+        "mat": np.asarray(head["embedding"].to_pylist(), dtype=np.float64),
+    }
+    out = knn.ann_cosine_ivf(emb, queries, k=k, nlist=nlist, nprobe=nprobe)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])

@@ -315,3 +315,81 @@ def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
         return _merge_topk(k, True, by="cosine", ascending=False)(g)
 
     return hash_rollup(partial, ["query_id"], merge, npartitions=4)
+
+
+def _spherical_kmeans(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means for IVF coarse centroids: init from
+    the first ``nlist`` sample rows, Lloyd iterations with cosine
+    assignment; empty clusters keep their previous centroid."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = x[:nlist].copy()
+    for _ in range(iters):
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
+                   nprobe: int = 4, train_sample: int = 1024):
+    """IVF-style ANN (the second scale path next to LSH): coarse centroids
+    trained driver-side on a bounded sample (spherical k-means,
+    deterministic init), broadcast; every vector belongs to its nearest
+    centroid's inverted list, and each query scans only its ``nprobe``
+    nearest lists. Approximate — recall grows with nprobe/nlist ratio.
+
+    Scale shape: the centroid matrix is tiny and broadcast once; candidates
+    stream through map_batches with a per-batch (assign -> mask -> matmul);
+    the only exchange is the partial-top-k merge on query_id."""
+    import pyarrow.compute as _pc  # noqa: F401  (parity with siblings)
+
+    import ray
+
+    from ..util import hash_rollup
+
+    sample_tbl = embeddings.limit(train_sample).to_pandas()
+    sample = np.asarray(list(sample_tbl["embedding"]), dtype=np.float64)
+    cents = _spherical_kmeans(sample, min(nlist, len(sample)))
+
+    qmat = queries["mat"].astype(np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # nprobe nearest lists per query
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+
+    ctx = ray.put({"cents": cents, "qid": queries["id"], "qn": qn,
+                   "probe": probe, "k": k})
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(ctx) if not isinstance(ctx, dict) else ctx
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        embn = emb / n
+        lists = (embn @ c["cents"].T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(c["qid"])):
+            mask = np.isin(lists, c["probe"][qi])
+            if not mask.any():
+                continue
+            s = c["qn"][qi] @ embn[mask].T
+            kk = min(c["k"] + 1, len(s))
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(idx), c["qid"][qi], dtype=np.int64))
+            out_n.append(vid[mask][idx])
+            out_s.append(s[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "cosine": pa.array(np.concatenate(out_s))})
+
+    partial = embeddings.map_batches(per_batch, batch_format="pyarrow")
+    return hash_rollup(partial, ["query_id"],
+                       _merge_topk(k, True, by="cosine", ascending=False),
+                       npartitions=4)

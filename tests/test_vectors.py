@@ -99,3 +99,34 @@ class TestNgramJaccard:
         assert len(near) > 0
         assert (near["jaccard"] > 0.6).all()
         assert near["jaccard"].median() > 0.85
+
+
+class TestAnnIvf:
+    def test_recall_vs_exact(self, ray_session):
+        """IVF top-1 with nprobe=8/nlist=16 must recover most exact top-1s."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from posm_ray.pipelines import vectors
+        from posm_ray.stages import knn
+
+        head = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 16)
+        queries = {"id": head["vec_id"].to_numpy(),
+                   "mat": np.asarray(head["embedding"].to_pylist(),
+                                     dtype=np.float64)}
+        emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+        exact = knn.ann_cosine_exact(emb, queries, k=1).to_pandas()
+        approx = vectors.ann_ivf(SF, k=1, nlist=16, nprobe=8).to_pandas()
+        e1 = dict(zip(exact["query_id"], exact["neighbor_id"]))
+        a1 = dict(zip(approx["query_id"], approx["neighbor_id"]))
+        hits = sum(1 for q in e1 if a1.get(q) == e1[q])
+        assert hits / len(e1) >= 0.6
+
+    def test_deterministic(self, ray_session):
+        from posm_ray.pipelines import vectors
+
+        a = vectors.ann_ivf(SF, k=3).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        b = vectors.ann_ivf(SF, k=3).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
