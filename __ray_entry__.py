@@ -238,7 +238,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_admin": _q_simple_admin,
         "poly_export": _q_poly_export,
         "resumable_tiles": _q_resumable_tiles,
+        "gadm_hierarchy": _q_gadm_hierarchy,
     }
+
+
+def _q_gadm_hierarchy(sf_dir: str):
+    """GADM 4-level extraction (extract_gadm.py rebuilt): pcode-suffixed
+    ids, PIP-parented acceptance levels 0-3 on the GADM-shaped fixture.
+    Oracle: bbox-center containment joins over inlined VALUES (rectangles
+    nest strictly, so center-in-bbox == the PIP kernel's decision)."""
+    import pyarrow as pa
+
+    from posm_ray.pipelines import gadm
+    from posm_ray.sources import boundaries as bsrc2
+
+    levels = gadm.extract_gadm_hierarchy(bsrc2.gadm_tables())
+    return pa.concat_tables(
+        [levels[k].select(["osm_id", "adminlevel", "is_in"])
+         for k in sorted(levels)])
+
+
+def _gadm_sql() -> str:
+    v = {k: bsrc.gadm_values_sql(k) for k in range(4)}
+    child = """
+SELECT c.pcode || '0' AS osm_id, CAST({lvl} AS INT) AS adminlevel,
+       p.pcode || '0' AS is_in
+FROM l{lvl} c JOIN l{parent} p
+  ON (c.minx + c.maxx) / 2 > p.minx AND (c.minx + c.maxx) / 2 < p.maxx
+ AND (c.miny + c.maxy) / 2 > p.miny AND (c.miny + c.maxy) / 2 < p.maxy
+"""
+    return f"""
+WITH l0 AS (SELECT * FROM (VALUES {v[0]}) t(pcode, minx, miny, maxx, maxy)),
+     l1 AS (SELECT * FROM (VALUES {v[1]}) t(pcode, minx, miny, maxx, maxy)),
+     l2 AS (SELECT * FROM (VALUES {v[2]}) t(pcode, minx, miny, maxx, maxy)),
+     l3 AS (SELECT * FROM (VALUES {v[3]}) t(pcode, minx, miny, maxx, maxy))
+SELECT pcode || '0' AS osm_id, CAST(0 AS INT) AS adminlevel,
+       CAST(NULL AS VARCHAR) AS is_in
+FROM l0
+UNION ALL {child.format(lvl=1, parent=0)}
+UNION ALL {child.format(lvl=2, parent=1)}
+UNION ALL {child.format(lvl=3, parent=2)}
+"""
 
 
 def _q_resumable_tiles(sf_dir: str):
@@ -494,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,
         "media_decode": _media_decode_sql(),
         "media_frames": _media_frames_sql(),
+        "gadm_hierarchy": _gadm_sql(),
         # lang_quality / minhash / simhash / knn_geo / ann_cosine /
         # ann_cosine_lsh / media_embed / all_geom / simple_admin /
         # poly_export: intentionally omitted (heuristic, float-order-

@@ -222,3 +222,55 @@ def raw_boundaries() -> pa.Table:
                           pa.binary() if c == "geom_wkb" else pa.string())
               for c in cols}
     return pa.table(arrays)
+
+
+# ---------------------------------------------------------------------------
+# GADM-shaped fixture (levels 0-3) — extract_gadm.py input analogue
+# ---------------------------------------------------------------------------
+
+def _gadm_rows() -> list[dict]:
+    """GADM archive analogue: one 'file' per admin level 0-3 with
+    (pcode, name_en, bbox). Level 3 quarters each county (inset 0.5)."""
+    rows = []
+    for k, cname, iso, cx, cy in _COUNTRIES:
+        cbox = (cx, cy, cx + COUNTRY_SIZE, cy + COUNTRY_SIZE)
+        rows.append(dict(level=0, pcode=iso, name_en=cname, bbox=cbox))
+        for s, sbox in enumerate(_quarters(*cbox, STATE_INSET)):
+            rows.append(dict(level=1, pcode=f"{iso}.{s}",
+                             name_en=f"{cname}-S{s}", bbox=sbox))
+            for c, dbox in enumerate(_quarters(*sbox, COUNTY_INSET)):
+                rows.append(dict(level=2, pcode=f"{iso}.{s}.{c}",
+                                 name_en=f"{cname}-S{s}-C{c}", bbox=dbox))
+                for d, ebox in enumerate(_quarters(*dbox, 0.5)):
+                    rows.append(dict(level=3, pcode=f"{iso}.{s}.{c}.{d}",
+                                     name_en=f"{cname}-S{s}-C{c}-D{d}",
+                                     bbox=ebox))
+    return rows
+
+
+def gadm_tables() -> dict[int, pa.Table]:
+    """Per-level GADM-shaped tables (ADMx_PCODE, ADMx_EN, geom_wkb) — the
+    extractGADMArchive(filepath) output analogue (extract_gadm.py:32-40)."""
+    from ..geom import wkb as _wkb
+
+    out = {}
+    for lvl in range(4):
+        rows = [r for r in _gadm_rows() if r["level"] == lvl]
+        out[lvl] = pa.table({
+            "pcode": pa.array([r["pcode"] for r in rows], pa.string()),
+            "name_en": pa.array([r["name_en"] for r in rows], pa.string()),
+            "geom_wkb": pa.array(
+                [_wkb.rings_to_wkb([_rect(*r["bbox"])]) for r in rows],
+                pa.binary()),
+        })
+    return out
+
+
+def gadm_values_sql(level: int) -> str:
+    """(pcode, minx, miny, maxx, maxy) VALUES rows for the oracle SQL.
+    Coords cast to DOUBLE — bare decimal literals parse as DECIMAL and
+    overflow in DuckDB's bbox-center arithmetic."""
+    rows = [r for r in _gadm_rows() if r["level"] == level]
+    return ", ".join(
+        "('%s', CAST(%r AS DOUBLE), CAST(%r AS DOUBLE), CAST(%r AS DOUBLE),"
+        " CAST(%r AS DOUBLE))" % (r["pcode"], *r["bbox"]) for r in rows)

@@ -129,3 +129,41 @@ def test_route_by_level(result, ray_session, tmp_path):
     assert set(df["adminlevel_part"].astype(str)) == {"2", "3", "4", "5", "6", "7"}
     lvl2 = df[df["adminlevel_part"].astype(str) == "2"]
     assert "R90008" in set(lvl2["osm_id"])  # nameless but id'd: routed
+
+
+class TestGadmHierarchy:
+    """extract_gadm.py rebuild: 4-level PIP-parented acceptance."""
+
+    def test_levels_and_parents(self):
+        from posm_ray.pipelines import gadm
+        from posm_ray.sources import boundaries as bsrc
+
+        levels = gadm.extract_gadm_hierarchy(bsrc.gadm_tables())
+        assert {k: levels[k].num_rows for k in levels} == {
+            0: 3, 1: 12, 2: 48, 3: 192}
+        # id suffixing: '{pcode}0' (extract_gadm.py:74)
+        assert levels[0]["osm_id"].to_pylist() == ["AA0", "BB0", "CC0"]
+        # every level-3 row's parent is an accepted level-2 id
+        l2_ids = set(levels[2]["osm_id"].to_pylist())
+        assert set(levels[3]["is_in"].to_pylist()) <= l2_ids
+
+    def test_unusable_blocklist_skips(self):
+        from posm_ray.pipelines import gadm
+        from posm_ray.sources import boundaries as bsrc
+
+        levels = gadm.extract_gadm_hierarchy(
+            bsrc.gadm_tables(), unusable=frozenset({"AA.00"}))
+        # state AA.0 skipped; its 4 counties lose their parent and drop,
+        # and their 16 districts drop with them (drop-if-no-parent chain)
+        assert levels[1].num_rows == 11
+        assert levels[2].num_rows == 44
+        assert levels[3].num_rows == 176
+
+    def test_partial_archive(self):
+        """<4 files: absent levels simply don't run (extract_gadm.py:259)."""
+        from posm_ray.pipelines import gadm
+        from posm_ray.sources import boundaries as bsrc
+
+        t = bsrc.gadm_tables()
+        levels = gadm.extract_gadm_hierarchy({0: t[0], 1: t[1]})
+        assert sorted(levels) == [0, 1]
