@@ -239,7 +239,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_export": _q_poly_export,
         "resumable_tiles": _q_resumable_tiles,
         "gadm_hierarchy": _q_gadm_hierarchy,
+        # event-stream custom operators (windowed aggregate / as-of / range)
+        "sessionize": _q_sessionize,
+        "asof_prior_click": _q_asof,
+        "value_range_join": _q_range_join,
     }
+
+
+def _events_sessionize_sql() -> str:
+    from posm_ray.pipelines import events as ev
+
+    return ev.SESSIONIZE_SQL
+
+
+def _events_asof_sql() -> str:
+    from posm_ray.pipelines import events as ev
+
+    return ev.ASOF_PRIOR_CLICK_SQL
+
+
+def _events_range_sql() -> str:
+    from posm_ray.pipelines import events as ev
+
+    return ev.value_range_join_sql()
+
+
+def _q_sessionize(sf_dir: str):
+    from posm_ray.pipelines import events as ev
+
+    return ev.sessionize(sf_dir)
+
+
+def _q_asof(sf_dir: str):
+    from posm_ray.pipelines import events as ev
+
+    return ev.asof_prior_click(sf_dir)
+
+
+def _q_range_join(sf_dir: str):
+    from posm_ray.pipelines import events as ev
+
+    return ev.value_range_join(sf_dir)
 
 
 def _q_gadm_hierarchy(sf_dir: str):
@@ -535,6 +575,9 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": _media_decode_sql(),
         "media_frames": _media_frames_sql(),
         "gadm_hierarchy": _gadm_sql(),
+        "sessionize": _events_sessionize_sql(),
+        "asof_prior_click": _events_asof_sql(),
+        "value_range_join": _events_range_sql(),
         # lang_quality / minhash / simhash / knn_geo / ann_cosine /
         # ann_cosine_lsh / media_embed / all_geom / simple_admin /
         # poly_export: intentionally omitted (heuristic, float-order-

@@ -1,0 +1,163 @@
+"""Event-stream operators Ray Data lacks natively (SURVEY custom-operator
+mandate: as-of join, range join, windowed aggregate), built as
+hash-exchange + vectorized per-partition kernels over the ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+All three partition by ``user_id`` (or broadcast the small side), so the
+partitioning assumption is: one user's history fits one partition — true
+by construction for bounded per-user event counts; a mega-user would be
+salted by time range first.
+
+Every operator here is DuckDB-oracle-checked exactly (window functions /
+ASOF JOIN / BETWEEN join twins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import hash_rollup
+
+SESSION_GAP_MIN = 30
+
+
+def _events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (windowed aggregate)
+# ---------------------------------------------------------------------------
+
+def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN):
+    """Per-user session assignment: a new session starts when the gap to the
+    previous event exceeds ``gap_min`` minutes. Output
+    (event_id, user_id, session_id, session_seq) with session_id numbered
+    1.. per user in time order and session_seq the 1-based position within
+    the session — all integers, exact oracle twin."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_min)
+        new_sess = (new_user | gap).astype("int64")
+        sess = new_sess.groupby(g["user_id"]).cumsum()
+        seq = g.groupby([g["user_id"], sess], sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "session_id": sess.astype("int64"),
+            "session_seq": seq.astype("int64"),
+        })
+
+    return hash_rollup(ds, ["user_id"], per_part, npartitions=16)
+
+
+SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT event_id, user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM marked
+)
+SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id, session_id ORDER BY ts, event_id)
+         AS BIGINT) AS session_seq
+FROM sess
+"""
+
+
+# ---------------------------------------------------------------------------
+# backward as-of join
+# ---------------------------------------------------------------------------
+
+def asof_prior_click(sf_dir: str):
+    """Backward as-of join: every event matched to the most recent 'click'
+    event (at-or-before its ts) by the same user. NULL match coalesced to
+    -1 so the value hash stays integer-typed. Both sides hash-partition on
+    user_id, then one vectorized ``pd.merge_asof`` per partition."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        clicks = g[g["event_type"] == "click"][
+            ["ts", "user_id", "event_id"]].rename(
+            columns={"event_id": "prior_click"})
+        out = pd.merge_asof(g[["ts", "user_id", "event_id"]], clicks,
+                            on="ts", by="user_id", direction="backward",
+                            allow_exact_matches=True)
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
+            "prior_click": out["prior_click"].fillna(-1).astype("int64"),
+        })
+
+    return hash_rollup(ds, ["user_id"], per_part, npartitions=16)
+
+
+ASOF_PRIOR_CLICK_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE(c.event_id, -1) AS prior_click
+FROM events e ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# range join (broadcast small side)
+# ---------------------------------------------------------------------------
+
+VALUE_TIERS = [
+    ("low", 0.0, 25.0),
+    ("mid", 25.0, 100.0),
+    ("high", 100.0, 1e18),
+]
+
+
+def value_range_join(sf_dir: str):
+    """Range join of events against a tiny tier table
+    (value in [lo, hi)): the small side is broadcast and resolved with one
+    ``np.searchsorted`` per batch — no shuffle at all. Output
+    (event_id, tier, n? no — row-level) (event_id, tier)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    ds = _events(sf_dir, ["event_id", "value"])
+    bounds = np.array([t[1] for t in VALUE_TIERS] + [VALUE_TIERS[-1][2]])
+    names = np.array([t[0] for t in VALUE_TIERS], dtype=object)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(bounds, v, side="right") - 1,
+                      0, len(names) - 1)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "tier": pa.array(names[idx], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def value_range_join_sql() -> str:
+    vals = ", ".join(f"('{n}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+                     for n, lo, hi in VALUE_TIERS)
+    return f"""
+SELECT e.event_id, t.tier
+FROM events e JOIN (VALUES {vals}) t(tier, lo, hi)
+  ON e.value >= t.lo AND e.value < t.hi
+"""
