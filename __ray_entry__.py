@@ -243,7 +243,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_prior_click": _q_asof,
         "value_range_join": _q_range_join,
+        "props_k": _q_props_k,
+        "type_revenue": relational.type_revenue,
+        "doc_sample": relational.doc_sample,
     }
+
+
+def _q_props_k(sf_dir: str):
+    from posm_ray.pipelines import events as ev
+
+    return ev.props_k(sf_dir)
+
+
+def _events_props_sql() -> str:
+    from posm_ray.pipelines import events as ev
+
+    return ev.PROPS_K_SQL
 
 
 def _events_sessionize_sql() -> str:
@@ -578,6 +593,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _events_sessionize_sql(),
         "asof_prior_click": _events_asof_sql(),
         "value_range_join": _events_range_sql(),
+        "props_k": _events_props_sql(),
+        "type_revenue": relational.TYPE_REVENUE_SQL,
+        "doc_sample": relational.DOC_SAMPLE_SQL,
         # lang_quality / minhash / simhash / knn_geo / ann_cosine /
         # ann_cosine_lsh / media_embed / all_geom / simple_admin /
         # poly_export: intentionally omitted (heuristic, float-order-

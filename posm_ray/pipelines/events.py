@@ -134,7 +134,7 @@ def value_range_join(sf_dir: str):
     """Range join of events against a tiny tier table
     (value in [lo, hi)): the small side is broadcast and resolved with one
     ``np.searchsorted`` per batch — no shuffle at all. Output
-    (event_id, tier, n? no — row-level) (event_id, tier)."""
+    (event_id, tier)."""
     import pyarrow.compute as pc  # noqa: F401
 
     ds = _events(sf_dir, ["event_id", "value"])
@@ -160,4 +160,27 @@ def value_range_join_sql() -> str:
 SELECT e.event_id, t.tier
 FROM events e JOIN (VALUES {vals}) t(tier, lo, hi)
   ON e.value >= t.lo AND e.value < t.hi
+"""
+
+
+def props_k(sf_dir: str):
+    """Scalar JSON extraction (SURVEY §2.9 json): props '{"k": n}' -> k as
+    int64 (vectorized pandas str parse would be brittle; per-batch
+    json.loads is the faithful kernel; DuckDB twin json_extract)."""
+    import json
+
+    ds = _events(sf_dir, ["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] if p else None
+              for p in batch.column("props").to_pylist()]
+        return pa.table({"event_id": batch["event_id"],
+                         "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PROPS_K_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
 """

@@ -314,3 +314,81 @@ SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 """
+
+
+def type_revenue(sf_dir: str, num_partitions: int = 16):
+    """Per-p_type revenue via Ray Data's NATIVE hash join (Dataset.join,
+    lineitem ⋈ part on partkey) — the one place we use the built-in join
+    operator instead of a broadcast map (part is small enough to broadcast,
+    but this query exists to exercise/verify the native exchange path).
+    Revenue e4-scaled to exact int64 before summing (module docstring
+    rule)."""
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        rev = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        return pa.table({"l_partkey": batch["l_partkey"], "rev_e4": rev})
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    joined = li.map_batches(pre, batch_format="pyarrow").join(
+        part, join_type="inner", num_partitions=num_partitions,
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["p_type", "rev_e4"]).to_pandas().groupby(
+            "p_type", sort=False)["rev_e4"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby("p_type", sort=False)["rev_e4"] \
+            .sum().reset_index()
+        batch = pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "p_type": batch["p_type"],
+            "revenue": pc.divide(pc.cast(batch["rev_e4"], pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+
+    return _merge_small(partials, merge)
+
+
+TYPE_REVENUE_SQL = """
+SELECT p.p_type,
+       SUM(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0)
+                AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+"""
+
+
+def doc_sample(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling (O3 graft): keep docs whose multiplicative
+    hash lands under ``pct``%. Exact int arithmetic, SQL-expressible.
+    (At 10^12-id scale the multiply must be done mod 2^64 on both sides —
+    here ids are small enough that BIGINT never overflows.)"""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (did * 2654435761) % 100 < pct
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+DOC_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10
+"""
