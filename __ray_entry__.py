@@ -246,7 +246,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k": _q_props_k,
         "type_revenue": relational.type_revenue,
         "doc_sample": relational.doc_sample,
+        "raster_tiles": _q_raster_tiles,
+        "s2_covering": _q_s2_covering,
     }
+
+
+def _q_raster_tiles(sf_dir: str):
+    """Raster side of raster<->vector: per r7 cell, doc counts of the 16
+    r9 'pixels' inside it (long format — exact SQL twin via cell bit math)."""
+    from posm_ray.stages import extract as extract_stage, tiles as tiles_stage
+
+    pages = synth.read_pages(sf_dir)
+    ds = extract_stage.extracted_pages(pages)
+    return tiles_stage.raster_tiles(ds)
+
+
+def _raster_tiles_sql() -> str:
+    c7 = cells.cell_sql(synth.lat_sql(), synth.lon_sql(), 7)
+    c9 = cells.cell_sql(synth.lat_sql(), synth.lon_sql(), 9)
+    return f"""
+WITH c AS (SELECT {c7} AS c7, {c9} AS c9 FROM documents)
+SELECT c7 AS cell,
+       ((((c9 >> 24) & 16777215) & 3) << 2) | ((c9 & 16777215) & 3)
+         AS pixel_idx,
+       COUNT(*) AS doc_count
+FROM c GROUP BY 1, 2
+"""
+
+
+def _q_s2_covering(sf_dir: str):
+    """S2-style bbox covering of each level-0 boundary at res 4 — one row
+    per (osm_id, cell); SQL twin generates the same ix/iy grid ranges."""
+    import numpy as np
+    import pyarrow as pa
+
+    from posm_ray import cells as cellmod
+
+    rows_id, rows_cell = [], []
+    for r in bsrc.iter_clean():
+        if r["adminlevel"] != 0:
+            continue
+        cover = cellmod.covering(*r["bbox"], 4)
+        rows_id.extend([r["osm_id"]] * len(cover))
+        rows_cell.extend(int(c) for c in cover)
+    return pa.table({"osm_id": pa.array(rows_id, pa.string()),
+                     "cell": pa.array(rows_cell, pa.int64())})
+
+
+def _s2_covering_sql() -> str:
+    nx, ny = cells.ncols(4), cells.nrows(4)
+    return f"""
+WITH b AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(0)})
+           AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
+r AS (
+  SELECT osm_id,
+    LEAST(GREATEST(CAST(FLOOR((minx + 180.0) / 360.0 * {nx}) AS BIGINT), 0), {nx - 1}) AS ix0,
+    LEAST(GREATEST(CAST(FLOOR((maxx + 180.0) / 360.0 * {nx}) AS BIGINT), 0), {nx - 1}) AS ix1,
+    LEAST(GREATEST(CAST(FLOOR((miny + 90.0) / 180.0 * {ny}) AS BIGINT), 0), {ny - 1}) AS iy0,
+    LEAST(GREATEST(CAST(FLOOR((maxy + 90.0) / 180.0 * {ny}) AS BIGINT), 0), {ny - 1}) AS iy1
+  FROM b)
+SELECT osm_id,
+       (CAST(4 AS BIGINT) << 48) | (CAST(gx AS BIGINT) << 24)
+         | CAST(gy AS BIGINT) AS cell
+FROM r, UNNEST(range(ix0, ix1 + 1)) tx(gx), UNNEST(range(iy0, iy1 + 1)) ty(gy)
+"""
 
 
 def _q_props_k(sf_dir: str):
@@ -596,6 +659,8 @@ def oracle_sql() -> dict[str, str]:
         "props_k": _events_props_sql(),
         "type_revenue": relational.TYPE_REVENUE_SQL,
         "doc_sample": relational.DOC_SAMPLE_SQL,
+        "raster_tiles": _raster_tiles_sql(),
+        "s2_covering": _s2_covering_sql(),
         # lang_quality / minhash / simhash / knn_geo / ann_cosine /
         # ann_cosine_lsh / media_embed / all_geom / simple_admin /
         # poly_export: intentionally omitted (heuristic, float-order-

@@ -120,3 +120,37 @@ def dissolve_by_parent(boundaries: pa.Table, level: int) -> pa.Table:
         n_children=("minx", "size"),
     ).reset_index()
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def raster_tiles(extracted, base_res: int = 7, pix_res: int = 9):
+    """Raster side of the raster<->vector tile move: per base-res cell, the
+    doc count of each pix-res sub-cell ("pixel") inside it — long format
+    (cell, pixel_idx, doc_count), pixel_idx = (local_ix << span) | local_iy
+    where span = pix_res - base_res (grid doubles per res). Same shuffle
+    shape as tile_rollup: in-batch partial counts, ONE hash exchange on the
+    base cell, vectorized merge."""
+    from ..util import hash_rollup
+
+    span = pix_res - base_res
+    mask = (1 << span) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c_base = batch.column(f"cell_r{base_res}").to_numpy(zero_copy_only=False)
+        c_pix = batch.column(f"cell_r{pix_res}").to_numpy(zero_copy_only=False)
+        ix = (c_pix >> 24) & ((1 << 24) - 1)
+        iy = c_pix & ((1 << 24) - 1)
+        pixel = ((ix & mask) << span) | (iy & mask)
+        df = pd.DataFrame({"cell": c_base, "pixel_idx": pixel})
+        g = df.groupby(["cell", "pixel_idx"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = extracted.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cell", "pixel_idx"], sort=False)["cnt"].sum() \
+            .reset_index(name="doc_count")
+        out["doc_count"] = out["doc_count"].astype("int64")
+        return out
+
+    return hash_rollup(pairs, ["cell"], merge)
