@@ -49,14 +49,27 @@ def hash_bytes(data: bytes) -> int:
 
 
 def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
-    """num_perm minhash values via universal hashing over the shingle set.
-    Vectorized (num_perm x n_shingles) in one numpy broadcast."""
-    a, b = _hash_params(num_perm)
+    """num_perm minhash values over the shingle set, one splitmix64-style
+    mix per permutation: h_i(x) = mix(x ^ seed_i). Pure uint64 numpy
+    (wrapping arithmetic) — the previous exact ax+b mod (2^61-1) family
+    needed python-object bigints and was ~50x slower; min-of-independent-
+    hashes only needs a uniform family, not a prime-field one."""
     if len(shingle_hashes) == 0:
-        return np.full(num_perm, _MERSENNE, dtype=np.int64)
-    x = shingle_hashes.astype(np.object_)  # python ints: no overflow in a*x
-    vals = (a[:, None].astype(np.object_) * x[None, :] + b[:, None].astype(np.object_)) % _MERSENNE
-    return vals.min(axis=1).astype(np.int64)
+        return np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+    seeds = _mix_seeds(num_perm)
+    with np.errstate(over="ignore"):
+        v = shingle_hashes.astype(np.uint64)[None, :] ^ seeds[:, None]
+        v ^= v >> np.uint64(30)
+        v *= np.uint64(0xBF58476D1CE4E5B9)
+        v ^= v >> np.uint64(27)
+        v *= np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(31)
+    return (v.min(axis=1) >> np.uint64(1)).astype(np.int64)
+
+
+def _mix_seeds(k: int) -> np.ndarray:
+    rng = np.random.RandomState(_SEED)
+    return rng.randint(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64)
 
 
 def minhash_signature_batch(texts: list[str], num_perm: int = 64,
