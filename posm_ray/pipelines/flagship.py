@@ -23,10 +23,14 @@ from ..stages import tiles as tiles_stage
 
 
 def join_rows(sf_dir: str, *, replicate: int = 1, concurrency=None,
-              boundaries: pa.Table | None = None, drop_unmatched: bool = True):
-    """pages -> extracted -> PIP join rows Dataset."""
+              boundaries: pa.Table | None = None, drop_unmatched: bool = True,
+              slim: bool = False):
+    """pages -> extracted -> PIP join rows Dataset. ``slim`` drops the wide
+    string columns (url/warc_ts/text) at the extract stage for consumers
+    that only need doc_id + cells (projection pushdown)."""
     pages = synth.read_pages(sf_dir, replicate=replicate)
-    extracted = extract_stage.extracted_pages(pages, concurrency=concurrency)
+    extracted = extract_stage.extracted_pages(pages, concurrency=concurrency,
+                                              slim=slim)
     bt = boundaries if boundaries is not None else bsrc.clean_boundaries()
     return pip_stage.pip_joined(extracted, bt, concurrency=concurrency,
                                 drop_unmatched=drop_unmatched)
@@ -35,7 +39,8 @@ def join_rows(sf_dir: str, *, replicate: int = 1, concurrency=None,
 def tiles(sf_dir: str, *, replicate: int = 1, concurrency=None,
           cell_col: str = "cell_r7"):
     """Flagship end-to-end: join rows -> per-cell tile rollup."""
-    jr = join_rows(sf_dir, replicate=replicate, concurrency=concurrency)
+    jr = join_rows(sf_dir, replicate=replicate, concurrency=concurrency,
+                   slim=True)
     return tiles_stage.tile_rollup(jr, cell_col=cell_col)
 
 

@@ -30,8 +30,13 @@ class ExtractGeocodeCells:
     module import; __call__ handles one Arrow batch zero-copy in, Arrow out.
     """
 
-    def __init__(self, reses: tuple[int, ...] = CELL_RESES):
+    def __init__(self, reses: tuple[int, ...] = CELL_RESES,
+                 slim: bool = False):
         self.reses = reses
+        # slim=True drops the wide string columns (url/warc_ts/text) right
+        # here — the html-projection rule (SURVEY §7.5.8) applied one stage
+        # earlier for consumers (tile rollups) that only need doc_id + cells
+        self.slim = slim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         html = batch.column("html").to_pylist()
@@ -40,17 +45,24 @@ class ExtractGeocodeCells:
         lat = np.array([g[0] if g else np.nan for g in geo], dtype=np.float64)
         lon = np.array([g[1] if g else np.nan for g in geo], dtype=np.float64)
         geocoded = np.isfinite(lat) & np.isfinite(lon)
-        cols = {
-            "url": batch.column("url"),
+        cols = {}
+        if not self.slim:
+            cols.update({
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+            })
+        cols.update({
             "doc_id": batch.column("doc_id"),
-            "warc_ts": batch.column("warc_ts"),
             "lang": batch.column("lang"),
-            "text": pa.array(extracted, pa.string()),
+        })
+        if not self.slim:
+            cols["text"] = pa.array(extracted, pa.string())
+        cols.update({
             "lat": pa.array(lat),
             "lon": pa.array(lon),
             "geocoded": pa.array(geocoded),
-        }
-        if "text" in batch.column_names:
+        })
+        if not self.slim and "text" in batch.column_names:
             golden = batch.column("text").to_pylist()
             cols["byte_identical"] = pa.array(
                 [e == g for e, g in zip(extracted, golden)]
@@ -61,7 +73,8 @@ class ExtractGeocodeCells:
         return pa.table(cols)
 
 
-def extracted_pages(pages, *, concurrency=None, batch_size: int | None = None):
+def extracted_pages(pages, *, concurrency=None, batch_size: int | None = None,
+                    slim: bool = False):
     """pages Dataset -> extracted/geocoded/cell-assigned Dataset (html
     dropped). Actor pool sized by ``concurrency`` (None -> Ray autoscale).
 
@@ -73,5 +86,6 @@ def extracted_pages(pages, *, concurrency=None, batch_size: int | None = None):
     blocks (e.g. wide binary payloads)."""
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
                   zero_copy_batch=True,
+                  fn_constructor_kwargs={"slim": slim},
                   concurrency=concurrency if concurrency is not None else default_pool())
     return pages.map_batches(ExtractGeocodeCells, **kwargs)
