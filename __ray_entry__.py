@@ -248,7 +248,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": relational.doc_sample,
         "raster_tiles": _q_raster_tiles,
         "s2_covering": _q_s2_covering,
+        "media_resize": _q_media_resize,
+        "minhash_clusters": _q_minhash_clusters,
     }
+
+
+def _q_media_resize(sf_dir: str):
+    """Resize actor stage over opaque payloads; output dims are doc_id-
+    derived, so the resize arithmetic is oracle-checked exactly."""
+    from posm_ray.stages import multimodal as mm
+
+    ds = mm.resized_media(mm.media_table(sf_dir))
+    return ds.select_columns(["doc_id", "media_type", "width", "height"])
+
+
+def _media_resize_sql() -> str:
+    # twin of MediaResize._new_dims over the synthesized header dims
+    return """
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         16 + (doc_id % 8) * 16 AS w,
+         16 + (doc_id % 5) * 16 AS h
+  FROM documents)
+SELECT doc_id, media_type,
+       CAST(CASE WHEN media_type = 'audio' OR (w <= 64 AND h <= 64) THEN w
+            ELSE GREATEST(1, CAST(FLOOR(w * LEAST(64 / w, 64 / h)) AS BIGINT))
+            END AS INT) AS width,
+       CAST(CASE WHEN media_type = 'audio' OR (w <= 64 AND h <= 64) THEN h
+            ELSE GREATEST(1, CAST(FLOOR(h * LEAST(64 / w, 64 / h)) AS BIGINT))
+            END AS INT) AS height
+FROM dims
+"""
+
+
+def _q_minhash_clusters(sf_dir: str):
+    """End-to-end near-dup dedup: minhash-LSH candidates -> exact Jaccard
+    verify -> union-find clusters; (doc_id, cluster_rep) rows for every doc
+    in a cluster (rows-only — minhash not SQL-expressible)."""
+    import pyarrow as pa
+
+    from posm_ray.pipelines import textops
+    from posm_ray.stages import dedup as dedup_stage
+
+    verified = textops.minhash_near_dups(sf_dir)
+    clusters = dedup_stage.near_dup_clusters(verified)
+    items = sorted(clusters.items())
+    return pa.table({
+        "doc_id": pa.array([k for k, _ in items], pa.int64()),
+        "cluster_rep": pa.array([v for _, v in items], pa.int64()),
+    })
 
 
 def _q_raster_tiles(sf_dir: str):
@@ -661,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": relational.DOC_SAMPLE_SQL,
         "raster_tiles": _raster_tiles_sql(),
         "s2_covering": _s2_covering_sql(),
+        "media_resize": _media_resize_sql(),
         # lang_quality / minhash / simhash / knn_geo / ann_cosine /
         # ann_cosine_lsh / media_embed / all_geom / simple_admin /
         # poly_export: intentionally omitted (heuristic, float-order-

@@ -193,3 +193,65 @@ def media_embeddings(ds, *, concurrency=None, batch_size: int = 64, dim: int = 1
         MediaEmbed, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True, fn_constructor_kwargs={"dim": dim},
         concurrency=concurrency if concurrency is not None else default_pool())
+
+
+class MediaResize:
+    """Resize stage (actor pool): image/video payloads rescaled to fit
+    ``(max_w, max_h)`` preserving aspect ratio (integer floor); audio passes
+    through. Real resampling is stubbed like decode — the fake codec
+    rewrites the header with the new dims and subsamples the body stride-k;
+    output stays an opaque payload so downstream stages are agnostic."""
+
+    def __init__(self, max_w: int = 64, max_h: int = 64,
+                 require_real_codec: bool = False):
+        self.max_w = max_w
+        self.max_h = max_h
+        if require_real_codec:
+            raise NotImplementedError(
+                "real resize (pillow/ffmpeg) unavailable; deterministic "
+                "fake resize only")
+
+    def _new_dims(self, w: int, h: int) -> tuple[int, int]:
+        if w <= self.max_w and h <= self.max_h:
+            return w, h
+        scale = min(self.max_w / w, self.max_h / h)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload = []
+        out_w = np.empty(batch.num_rows, np.int32)
+        out_h = np.empty(batch.num_rows, np.int32)
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            if p is None or len(p) < HEADER_SIZE or p[:4] != MAGIC:
+                out_payload.append(p)
+                out_w[i] = out_h[i] = 0
+                continue
+            _, mt, w, h, nf, sr = parse_header(p)
+            if mt == 1:  # audio: passthrough
+                out_payload.append(p)
+                out_w[i], out_h[i] = w, h
+                continue
+            nw, nh = self._new_dims(w, h)
+            body = p[HEADER_SIZE:]
+            stride = max(1, (w * h) // max(1, (nw * nh)))
+            header = struct.pack(_HEADER_FMT, MAGIC, mt, nw, nh, nf, sr)
+            out_payload.append(header + body[::stride])
+            out_w[i], out_h[i] = nw, nh
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "payload": pa.array(out_payload, pa.binary()),
+            "width": pa.array(out_w),
+            "height": pa.array(out_h),
+        })
+
+
+def resized_media(ds, *, max_w: int = 64, max_h: int = 64, concurrency=None,
+                  batch_size: int = 64):
+    from ..util import default_pool
+
+    return ds.map_batches(
+        MediaResize, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        concurrency=concurrency if concurrency is not None else default_pool())
