@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textops.fingerprints,
         "dedup_exact": textops.dedup_exact_winners,
         "noisy_documents": textops.noisy_documents,
+        "quality_quartiles": textops.quality_quartiles,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
         # heuristic / non-SQL ops (rows-only checks)
@@ -697,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": textops.FINGERPRINTS_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
+        "quality_quartiles": textops.QUALITY_QUARTILES_SQL,
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,

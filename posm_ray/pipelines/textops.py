@@ -256,3 +256,46 @@ FROM sub x JOIN sub y ON x.doc_id < y.doc_id
 WHERE len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g))
       >= {NGRAM_JACCARD_THRESHOLD}
 """
+
+
+def quality_quartiles(sf_dir: str):
+    """Per-lang exact order statistics of doc length (q25/median/q75).
+    Order stats have no combiner, so the raw (lang, n_chars) pairs — 10
+    bytes/row — hash-exchange on lang and each partition computes its
+    groups' quantiles in one numpy pass. Linear-interpolation quantiles
+    over ints are deterministic doubles, so this IS oracle-checked
+    (DuckDB quantile_cont twin)."""
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "n_chars": pc.utf8_length(batch["text"]),
+        })
+
+    pairs = ds.map_batches(project, batch_format="pyarrow")
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, sub in g.groupby("lang", sort=False):
+            a = sub["n_chars"].to_numpy(dtype=np.float64)
+            rows.append((lang, np.percentile(a, 25), np.percentile(a, 50),
+                         np.percentile(a, 75)))
+        return pd.DataFrame(rows, columns=["lang", "q25_chars",
+                                           "med_chars", "q75_chars"])
+
+    return hash_rollup(pairs, ["lang"], quartiles, npartitions=4)
+
+
+QUALITY_QUARTILES_SQL = """
+SELECT lang,
+       quantile_cont(length(text), 0.25) AS q25_chars,
+       quantile_cont(length(text), 0.50) AS med_chars,
+       quantile_cont(length(text), 0.75) AS q75_chars
+FROM documents GROUP BY lang
+"""
