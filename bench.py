@@ -160,10 +160,64 @@ def scaling() -> dict:
     }
 
 
+def skew() -> dict:
+    """Skew stress: tile rollup wall time on the natural input vs a
+    90%-one-cell skewed variant of the SAME rows. The in-batch partial
+    pre-reduction means the mega-cell ships counts, not rows, so skewed
+    should run within ~1.2x of natural (BASELINE skew defense evidence)."""
+    import pyarrow as pa
+
+    _init_ray(NUM_CPUS)
+    from posm_ray.pipelines import flagship
+    from posm_ray.stages import extract as ex, tiles as ti
+    from posm_ray.sources import boundaries as bsrc, synth
+
+    def run(skewed: bool) -> float:
+        pages = synth.read_pages(SF_DIR, replicate=REPLICATE)
+        ds = ex.extracted_pages(pages, slim=True)
+        if skewed:
+            def skew_cells(b: pa.Table) -> pa.Table:
+                import numpy as np
+
+                did = b.column("doc_id").to_numpy(zero_copy_only=False)
+                hot = did % 10 != 0  # 90% of rows -> one cell
+                for col in ("cell_r7", "cell_r8", "cell_r9"):
+                    c = b.column(col).to_numpy(zero_copy_only=False).copy()
+                    c[hot] = c[0]
+                    b = b.set_column(b.schema.get_field_index(col), col,
+                                     pa.array(c))
+                return b
+
+            ds = ds.map_batches(skew_cells, batch_format="pyarrow")
+        from posm_ray.stages import pip_join as pj
+
+        jr = pj.pip_joined(ds, bsrc.clean_boundaries())
+        t0 = time.perf_counter()
+        _consume(ti.tile_rollup(jr))
+        return time.perf_counter() - t0
+
+    natural = run(False)
+    skewed = run(True)
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "skew overhead (90% single-cell vs natural, tile rollup)",
+        "value": round(skewed / natural, 3),
+        "unit": "ratio",
+        "queries": {"sec_natural": round(natural, 3),
+                    "sec_skewed_90pct_one_cell": round(skewed, 3)},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     os.makedirs(SCRATCH, exist_ok=True)
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(skew()))
     else:
         headline_only = "--headline-only" in sys.argv
         print(json.dumps(single_run(SF_DIR, NUM_CPUS, headline_only)))

@@ -157,3 +157,29 @@ def test_topojson_tree(levels, all_geom, ray_session, tmp_path):
     # the CLI conversion itself is stubbed (no node topojson binary)
     with pytest.raises(NotImplementedError):
         exports.convert_to_topojson(out, require_cli=True)
+
+
+def test_poly_format_matches_reference_golden():
+    """Byte-identical reproduction of the reference's shipped .poly output
+    (extractor/poly/NP_R184633.poly): parse the golden's coordinates, run
+    them through our writer (exports.poly_text), and compare the full file
+    byte for byte — name line, ring numbering, '   %.6E   %.6E' coords,
+    END terminators."""
+    import numpy as np
+
+    golden_path = "/root/reference/extractor/poly/NP_R184633.poly"
+    golden = open(golden_path).read()
+    lines = golden.splitlines()
+    name = lines[0]
+    rings, cur = [], []
+    for ln in lines[1:]:
+        s = ln.strip()
+        if s == "END":
+            if cur:
+                rings.append(np.array(cur, dtype=np.float64))
+                cur = []
+        elif s and not s.lstrip("!").isdigit():
+            x, y = s.split()
+            cur.append((float(x), float(y)))
+    regenerated = exports.poly_text(name, rings)
+    assert regenerated == golden
