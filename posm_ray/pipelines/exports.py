@@ -237,3 +237,99 @@ def topojson_tree(view1, view2, out_dir: str, view0=None):
     country_files = hash_rollup(ds1, ["is_in_country"], write_country_files,
                                 npartitions=4)
     return state_files.union(country_files)
+
+
+# ---------------------------------------------------------------------------
+# full per-country archive (K7 complete layout)
+# ---------------------------------------------------------------------------
+
+def _country_feature(r: dict, geom_key: str) -> dict:
+    """Feature with the reference's field set (generate_geojson.py:190-196:
+    osm_id, is_in_country, is_in_state, name, name_en, iso3166, parent_id)."""
+    rings = wkb.wkb_to_rings(r[geom_key])
+    return {
+        "type": "Feature",
+        "properties": {
+            "osm_id": r.get("osm_id"),
+            "is_in_country": r.get("is_in_country"),
+            "is_in_state": r.get("is_in_state"),
+            "name": r.get("name"),
+            "name_en": r.get("name_en"),
+            "iso3166": r.get("iso3166"),
+            "parent_id": r.get("is_in_state") or r.get("is_in_country"),
+        },
+        "geometry": {"type": "MultiPolygon",
+                     "coordinates": [[np.asarray(x).tolist()] for x in rings]},
+    }
+
+
+def country_archives(views: dict, out_dir: str):
+    """generate_geojson.py:144-376 complete rebuild: per country, per level
+    k in the views, TWO files ``{country}admin{k}.json`` (natural geometry)
+    and ``{country}admin{k}_simplified.json`` (simplified), then a
+    ``{country}_exported_geojson.zip`` of that country's files. The N
+    filtered scans become one grouped pass per level.
+
+    Deviation: the archive uses python's zipfile (reference shells to the
+    ``zip`` CLI, generate_geojson.py:119-132 — unavailable here).
+    Returns list of written file names."""
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    per_country: dict[str, list[str]] = {}
+
+    def write_level(level: int, table: pa.Table):
+        rows = table.to_pylist()
+        groups: dict[str, list[dict]] = {}
+        for r in rows:
+            country = r["osm_id"] if level == 0 else r["is_in_country"]
+            groups.setdefault(country, []).append(r)
+        for country, rs in groups.items():
+            rs = sorted(rs, key=lambda r: r["osm_id"])
+            for suffix, geom_key in (("", "natural_wkb_geometry"),
+                                     ("_simplified", "wkb_geometry")):
+                fname = f"{country}admin{level}{suffix}.json"
+                feats = [_country_feature(r, geom_key) for r in rs]
+                with open(os.path.join(out_dir, fname), "w") as f:
+                    json.dump({"type": "FeatureCollection",
+                               "features": feats}, f, sort_keys=True)
+                per_country.setdefault(country, []).append(fname)
+
+    for level in sorted(views):
+        write_level(level, views[level])
+
+    written = []
+    for country, files in sorted(per_country.items()):
+        zname = f"{country}_exported_geojson.zip"
+        with zipfile.ZipFile(os.path.join(out_dir, zname), "w",
+                             zipfile.ZIP_DEFLATED) as z:
+            for fname in sorted(files):
+                z.write(os.path.join(out_dir, fname), arcname=fname)
+        written.extend(files + [zname])
+    return written
+
+
+# ---------------------------------------------------------------------------
+# problems GeoJSON file sink (K5 file form)
+# ---------------------------------------------------------------------------
+
+def write_problems_geojson(problems: pa.Table, path: str) -> int:
+    """K5 file sink (exposm/utils.py:73-102, 129-153): Point layer
+    (osm_id, reason, link); the point comes from the coords parsed out of
+    the validity reason (parse_reason)."""
+    from .boundary import parse_reason
+
+    feats = []
+    for r in problems.to_pylist():
+        x, y = parse_reason(r["reason"])
+        feats.append({
+            "type": "Feature",
+            "properties": {"osm_id": r["osm_id"], "reason": r["reason"],
+                           "link": r["link"]},
+            "geometry": {"type": "Point", "coordinates": [x, y]},
+        })
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f,
+                  sort_keys=True)
+    return len(feats)

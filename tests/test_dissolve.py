@@ -183,3 +183,49 @@ def test_poly_format_matches_reference_golden():
             cur.append((float(x), float(y)))
     regenerated = exports.poly_text(name, rings)
     assert regenerated == golden
+
+
+def test_country_archives(levels, all_geom, ray_session, tmp_path):
+    """K7 complete layout: {country}admin{k}[_simplified].json x levels + a
+    zip per country (generate_geojson.py:144-376)."""
+    import json
+    import os
+    import zipfile
+
+    simple = dissolve.simplify_dissolve(levels, all_geom)
+    views = {k: dissolve.simple_admin_view(levels, simple, k)
+             for k in (0, 1, 2)}
+    out = str(tmp_path / "archives")
+    written = exports.country_archives(views, out)
+    for country in ("R1000", "R2000", "R3000"):
+        for k in (0, 1, 2):
+            assert f"{country}admin{k}.json" in written
+            assert f"{country}admin{k}_simplified.json" in written
+        zpath = os.path.join(out, f"{country}_exported_geojson.zip")
+        with zipfile.ZipFile(zpath) as z:
+            assert len(z.namelist()) == 6
+    with open(os.path.join(out, "R1000admin2.json")) as f:
+        fc = json.load(f)
+    props = fc["features"][0]["properties"]
+    assert set(props) == {"osm_id", "is_in_country", "is_in_state", "name",
+                          "name_en", "iso3166", "parent_id"}
+    assert props["is_in_country"] == "R1000"
+    assert props["parent_id"] == props["is_in_state"]
+
+
+def test_write_problems_geojson(ray_session, tmp_path):
+    import json
+
+    from posm_ray.pipelines import boundary
+    from posm_ray.sources import boundaries as bsrc
+
+    problems = boundary.problems_table(
+        boundary.normalized(bsrc.raw_boundaries()))
+    path = str(tmp_path / "problems.geojson")
+    n = exports.write_problems_geojson(problems, path)
+    assert n == problems.num_rows > 0
+    with open(path) as f:
+        fc = json.load(f)
+    f0 = fc["features"][0]
+    assert set(f0["properties"]) == {"osm_id", "reason", "link"}
+    assert f0["geometry"]["type"] == "Point"
