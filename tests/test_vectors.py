@@ -130,3 +130,40 @@ class TestAnnIvf:
         b = vectors.ann_ivf(SF, k=3).to_pandas().sort_values(
             ["query_id", "rank"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestKnnSharded:
+    def test_agrees_with_exact_within_halo(self, ray_session):
+        """knn_sharded is exact for neighbors within one shard-cell width
+        (3x3 halo, SURVEY J7). Verify every sharded neighbor list equals the
+        brute-force list whenever the true k-th neighbor lies within one
+        shard cell of the query."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from posm_ray import cells
+        from posm_ray.geom.kernels import haversine_m
+        from posm_ray.sources import synth
+        from posm_ray.stages import knn
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        did = t["doc_id"].to_numpy()[:300]
+        lat, lon = synth.derive_lat(did), synth.derive_lon(did)
+        pts = rd.from_arrow(__import__("pyarrow").table({
+            "doc_id": did, "lat": lat, "lon": lon}))
+        shard_res = 2
+        out = knn.knn_sharded(pts, k=3, shard_res=shard_res).to_pandas()
+        by_q = {q: g.sort_values("rank")["neighbor_id"].tolist()
+                for q, g in out.groupby("query_id")}
+        width_deg = cells.cell_width_deg(shard_res)
+        checked = 0
+        for i in range(0, len(did), 5):
+            d = haversine_m(lat[i], lon[i], lat, lon)
+            d[i] = np.inf
+            order = np.lexsort((did, d))[:3]
+            # assumption gate: true neighbors within one shard cell (deg)
+            if max(abs(lat[order] - lat[i]).max(),
+                   abs(lon[order] - lon[i]).max()) < width_deg * 0.9:
+                assert by_q.get(int(did[i])) == [int(x) for x in did[order]]
+                checked += 1
+        assert checked >= 5
