@@ -117,3 +117,38 @@ class TestResizeProperties:
         if w > 64 or h > 64:
             # aspect preserved within integer floor slack
             assert abs(nw / nh - w / h) <= max(w / h, nw / nh)
+
+
+class TestSqlTwinProperties:
+    @given(st.lists(st.tuples(lat_s, lon_s), min_size=1, max_size=50),
+           st.integers(min_value=1, max_value=12))
+    @settings(max_examples=30, deadline=None)
+    def test_cell_sql_matches_cell_id(self, coords, res):
+        """The DuckDB twin of the cell function is bit-identical to the
+        numpy kernel on arbitrary coordinates (identical IEEE op order)."""
+        import duckdb
+
+        lat = np.array([c[0] for c in coords])
+        lon = np.array([c[1] for c in coords])
+        ours = cells.cell_id(lat, lon, res)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)",
+                        list(map(tuple, coords)))
+        sql = con.execute(
+            f"SELECT {cells.cell_sql('lat', 'lon', res)} FROM pts"
+        ).fetchnumpy()
+        theirs = list(sql.values())[0]
+        assert (ours == theirs).all()
+
+    @given(st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+           st.floats(min_value=-179.9, max_value=179.9, allow_nan=False))
+    @settings(max_examples=100, deadline=None)
+    def test_haversine_properties(self, lat, lon):
+        from posm_ray.geom.kernels import haversine_m
+
+        # self-distance zero; symmetry
+        assert haversine_m(lat, lon, np.array([lat]), np.array([lon]))[0] < 1e-6
+        d1 = haversine_m(lat, lon, np.array([0.0]), np.array([0.0]))[0]
+        d2 = haversine_m(0.0, 0.0, np.array([lat]), np.array([lon]))[0]
+        assert abs(d1 - d2) <= 1e-6 * max(1.0, d1)
