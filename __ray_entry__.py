@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prior_click": _q_asof,
         "value_range_join": _q_range_join,
         "props_k": _q_props_k,
+        "late_events": _q_late_events,
         "type_revenue": relational.type_revenue,
         "doc_sample": relational.doc_sample,
         "raster_tiles": _q_raster_tiles,
@@ -367,6 +368,18 @@ def _q_props_k(sf_dir: str):
     from posm_ray.pipelines import events as ev
 
     return ev.props_k(sf_dir)
+
+
+def _q_late_events(sf_dir: str):
+    from posm_ray.pipelines import events as ev
+
+    return ev.late_events(sf_dir)
+
+
+def _events_late_sql() -> str:
+    from posm_ray.pipelines import events as ev
+
+    return ev.LATE_EVENTS_SQL
 
 
 def _events_props_sql() -> str:
@@ -709,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_prior_click": _events_asof_sql(),
         "value_range_join": _events_range_sql(),
         "props_k": _events_props_sql(),
+        "late_events": _events_late_sql(),
         "type_revenue": relational.TYPE_REVENUE_SQL,
         "doc_sample": relational.DOC_SAMPLE_SQL,
         "raster_tiles": _raster_tiles_sql(),

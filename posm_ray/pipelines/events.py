@@ -184,3 +184,118 @@ PROPS_K_SQL = """
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
 FROM events
 """
+
+
+LATENESS_MIN = 60
+DISORDER_MOD = 13       # event_id % 13 == 0 -> ts shifted back 90 minutes
+DISORDER_SHIFT_MIN = 90
+
+
+def _disordered(sf_dir: str):
+    """The synthetic stream is perfectly ordered, so inject deterministic
+    disorder (SQL-expressible, like noisy_documents): every DISORDER_MOD-th
+    event's ts is shifted back DISORDER_SHIFT_MIN minutes."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        shift = np.where(eid % DISORDER_MOD == 0,
+                         np.timedelta64(DISORDER_SHIFT_MIN, "m"),
+                         np.timedelta64(0, "m"))
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) - shift
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": pa.array(ts)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def late_events(sf_dir: str, lateness_min: int = LATENESS_MIN,
+                nparts: int = 16):
+    """Watermark-style late-data flagging over a disordered stream
+    (streaming semantics the reference lacks; SURVEY §2.10 graft).
+    ``event_id`` is arrival order; the watermark is the running max ts over
+    ALL prior arrivals; an event is LATE iff its ts trails the watermark by
+    more than ``lateness_min`` minutes.
+
+    A global running max is a **distributed prefix scan**, built in the
+    classic two-phase shape:
+    1. range-partition by arrival (contiguous event_id ranges, co-located
+       with one hash exchange on the range id); per partition compute the
+       local running max AND the partition max (the latter pre-reduced per
+       block before the exchange);
+    2. the K partition maxima (tiny) prefix-max on the driver and broadcast
+       back; watermark_i = max(prefix_before_partition, local running max).
+
+    Output (event_id, user_id, is_late) — exact window-function oracle."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    md = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    max_id = int(pd.Series(md["event_id"].to_numpy()).max())
+    span = max_id + 1
+
+    ds = _disordered(sf_dir)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        part = np.minimum(eid * nparts // span, nparts - 1)
+        return b.append_column("part", pa.array(part.astype(np.int64)))
+
+    keyed = ds.map_batches(add_part, batch_format="pyarrow")
+
+    # phase 1a: per-block partial -> (part, max_ts); tiny driver collect
+    def part_max(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("part", sort=False)["ts"].max() \
+            .reset_index(name="max_ts")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    maxima = keyed.map_batches(part_max, batch_format="pyarrow").to_pandas()
+    maxima = maxima.groupby("part", sort=True)["max_ts"].max()
+    # exclusive prefix max per partition
+    prefix = {}
+    running = None
+    for p in range(nparts):
+        prefix[p] = running
+        m = maxima.get(p)
+        if m is not None:
+            running = m if running is None or m > running else running
+    prefix_ref = ray.put(prefix)
+
+    # phase 2: co-locate ranges, local scan + broadcast prefix
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(prefix_ref) if not isinstance(prefix_ref, dict) else prefix_ref
+        frames = []
+        for p, sub in g.groupby("part", sort=False):
+            sub = sub.sort_values("event_id", kind="mergesort")
+            local_wm = sub["ts"].cummax().shift()
+            p0 = pre.get(int(p))
+            if p0 is not None:
+                local_wm = local_wm.fillna(p0).where(local_wm > p0, p0)
+            late = sub["ts"] < local_wm - pd.Timedelta(minutes=lateness_min)
+            frames.append(pd.DataFrame({
+                "event_id": sub["event_id"].astype("int64"),
+                "user_id": sub["user_id"].astype("int64"),
+                "is_late": late.fillna(False).astype(bool),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return hash_rollup(keyed, ["part"], scan, npartitions=nparts)
+
+
+LATE_EVENTS_SQL = f"""
+WITH d AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % {DISORDER_MOD} = 0
+              THEN ts - INTERVAL {DISORDER_SHIFT_MIN} MINUTE ELSE ts END AS ts
+  FROM events)
+SELECT event_id, user_id,
+       COALESCE(ts < MAX(ts) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         - INTERVAL {LATENESS_MIN} MINUTE, FALSE) AS is_late
+FROM d
+"""

@@ -74,3 +74,25 @@ class TestRangeJoin:
 
         _compare("range", ev.value_range_join(SF).to_pandas(),
                  ev.value_range_join_sql())
+
+
+class TestLateEvents:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import events as ev
+
+        a = _compare("late", ev.late_events(SF).to_pandas(),
+                     ev.LATE_EVENTS_SQL)
+        assert a["is_late"].sum() > 0
+
+    def test_scan_semantics(self, ray_session):
+        """Only disorder-injected events can be late; nearly all of them
+        are (90-min backshift vs 60-min lateness bound)."""
+        from posm_ray.pipelines import events as ev
+
+        a = ev.late_events(SF).to_pandas()
+        late = a[a["is_late"]]
+        assert (late["event_id"] % ev.DISORDER_MOD == 0).all()
+        n_disordered = (a["event_id"] % ev.DISORDER_MOD == 0).sum()
+        # sparser streams advance the watermark more per event, so fewer
+        # backshifted events exceed the bound; half is the sf0.001 floor
+        assert len(late) >= 0.4 * n_disordered
