@@ -252,7 +252,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_covering": _q_s2_covering,
         "media_resize": _q_media_resize,
         "minhash_clusters": _q_minhash_clusters,
+        "approx_distinct_domains": _q_hll_domains,
     }
+
+
+def _q_hll_domains(sf_dir: str):
+    """Per-cell approximate distinct domains via a mergeable HLL-style
+    sketch (rows-only: approximate by construction; the exact twin is
+    tiles_r7.distinct_domains, pytest-bounded within sketch error)."""
+    from posm_ray.pipelines import flagship as fs
+    from posm_ray.stages import tiles as tiles_stage
+
+    return tiles_stage.approx_distinct_domains(
+        fs.join_rows(sf_dir, slim=True))
 
 
 def _q_media_resize(sf_dir: str):

@@ -154,3 +154,68 @@ def raster_tiles(extracted, base_res: int = 7, pix_res: int = 9):
         return out
 
     return hash_rollup(pairs, ["cell"], merge)
+
+
+HLL_BITS = 6  # 64 registers, ~13% standard error — mergeable sketch
+
+
+def _hll_partial(batch: pa.Table, cell_col: str, bits: int) -> pa.Table:
+    """Per-block HLL partial: (cell, register, rho_max) rows. Registers
+    merge by MAX, so the sketch is a perfect combiner — the exchange ships
+    at most (#cells x 2^bits) tiny rows per block regardless of row count
+    (the mergeable-sketch pattern for distinct counts at corpus scale)."""
+    cell = batch.column(cell_col).to_numpy(zero_copy_only=False)
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    domain = (doc_id % synth.N_DOMAINS).astype(np.uint64)
+    # splitmix64 of the domain id
+    v = domain * np.uint64(0x9E3779B97F4A7C15)
+    v ^= v >> np.uint64(30); v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27); v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    reg = (v >> np.uint64(64 - bits)).astype(np.int64)
+    rest = (v << np.uint64(bits)) | np.uint64((1 << bits) - 1)
+    # rho = leading zeros of rest + 1 (position of first 1 bit)
+    rho = np.zeros(len(rest), dtype=np.int64)
+    mask = np.uint64(1) << np.uint64(63)
+    cur = rest.copy()
+    found = np.zeros(len(rest), dtype=bool)
+    for i in range(64 - bits + 1):
+        hit = ~found & ((cur & mask) != 0)
+        rho[hit] = i + 1
+        found |= hit
+        cur = cur << np.uint64(1)
+    df = pd.DataFrame({"cell": cell, "register": reg, "rho": rho})
+    g = df.groupby(["cell", "register"], sort=False)["rho"].max() \
+        .reset_index(name="rho")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def approx_distinct_domains(join_rows, cell_col: str = "cell_r7",
+                            bits: int = HLL_BITS):
+    """Per-cell approximate distinct-domain count via a mergeable HLL-style
+    sketch: per-block register partials -> ONE hash exchange on cell ->
+    register max-merge -> harmonic-mean estimate with the standard
+    small-range correction. ~13% std error at 64 registers; the exact
+    variant (tile_rollup) shuffles (cell, domain) pairs instead."""
+    from ..util import hash_rollup
+
+    m = 1 << bits
+    alpha = 0.709 if m >= 128 else (0.697 if m >= 64 else 0.673)
+
+    partials = join_rows.map_batches(
+        lambda b: _hll_partial(b, cell_col, bits), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cell, sub in g.groupby("cell", sort=False):
+            regs = np.zeros(m, dtype=np.int64)
+            mx = sub.groupby("register", sort=False)["rho"].max()
+            regs[mx.index.to_numpy()] = mx.to_numpy()
+            est = alpha * m * m / np.sum(np.power(2.0, -regs))
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * m and zeros:
+                est = m * np.log(m / zeros)  # linear counting correction
+            rows.append((cell, int(round(est))))
+        return pd.DataFrame(rows, columns=["cell", "approx_distinct_domains"])
+
+    return hash_rollup(partials, ["cell"], merge)

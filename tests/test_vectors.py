@@ -167,3 +167,35 @@ class TestKnnSharded:
                 assert by_q.get(int(did[i])) == [int(x) for x in did[order]]
                 checked += 1
         assert checked >= 5
+
+
+class TestHllSketch:
+    def test_estimates_within_error(self, ray_session):
+        """HLL per-cell distinct estimates land within ~3 sigma (40% at 64
+        registers) of the exact counts from tile_rollup, and the total-corpus
+        relative error is much tighter."""
+        from posm_ray.pipelines import flagship
+        from posm_ray.stages import tiles as ti
+
+        jr = flagship.join_rows(SF, slim=True)
+        exact = ti.tile_rollup(jr).to_pandas().set_index("cell")
+        jr2 = flagship.join_rows(SF, slim=True)
+        approx = ti.approx_distinct_domains(jr2).to_pandas().set_index("cell")
+        j = exact.join(approx, how="inner")
+        assert len(j) == len(exact) == len(approx)
+        rel = (j["approx_distinct_domains"] - j["distinct_domains"]).abs() \
+            / j["distinct_domains"].clip(lower=1)
+        assert (rel <= 0.4).mean() >= 0.95
+        tot_rel = abs(j["approx_distinct_domains"].sum()
+                      - j["distinct_domains"].sum()) / j["distinct_domains"].sum()
+        assert tot_rel <= 0.15
+
+    def test_deterministic(self, ray_session):
+        from posm_ray.pipelines import flagship
+        from posm_ray.stages import tiles as ti
+
+        a = ti.approx_distinct_domains(flagship.join_rows(SF, slim=True)) \
+            .to_pandas().sort_values("cell").reset_index(drop=True)
+        b = ti.approx_distinct_domains(flagship.join_rows(SF, slim=True)) \
+            .to_pandas().sort_values("cell").reset_index(drop=True)
+        assert a.equals(b)
