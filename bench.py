@@ -107,6 +107,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("knn_geo", lambda: qs["knn_geo"](sf_dir))
     timed("media_decode", lambda: qs["media_decode"](sf_dir))
     timed("resumable_tiles", lambda: qs["resumable_tiles"](sf_dir))
+    timed("sessionize", lambda: qs["sessionize"](sf_dir))
+    timed("late_events", lambda: qs["late_events"](sf_dir))
+    timed("raster_tiles", lambda: qs["raster_tiles"](sf_dir))
+    timed("approx_distinct_domains",
+          lambda: qs["approx_distinct_domains"](sf_dir))
     return timings
 
 
