@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": textops.dedup_exact_winners,
         "noisy_documents": textops.noisy_documents,
         "quality_quartiles": textops.quality_quartiles,
+        "top_tokens": textops.top_tokens,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
         # heuristic / non-SQL ops (rows-only checks)
@@ -724,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
         "quality_quartiles": textops.QUALITY_QUARTILES_SQL,
+        "top_tokens": textops.top_tokens_sql(),
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,

@@ -299,3 +299,68 @@ SELECT lang,
        quantile_cont(length(text), 0.75) AS q75_chars
 FROM documents GROUP BY lang
 """
+
+
+TOP_TOKENS_K = 10
+
+
+def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
+    """Per-lang top-k frequent tokens (corpus vocabulary heavy-hitters):
+    whitespace tokens exploded per batch and pre-reduced to (lang, token,
+    cnt) partials, ONE hash exchange on (lang, token)-> per-partition count
+    merge, then a second tiny exchange on lang for the vectorized top-k
+    (count desc, token asc tiebreak — fully deterministic, exact SQL twin
+    with a row_number window)."""
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_lang, out_tok = [], []
+        for lg, t in zip(langs, texts):
+            toks = [w for w in t.split(" ") if w]
+            out_lang.extend([lg] * len(toks))
+            out_tok.extend(toks)
+        df = pd.DataFrame({"lang": out_lang, "token": out_tok})
+        g = df.groupby(["lang", "token"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(explode_counts, batch_format="pyarrow")
+
+    counts = hash_rollup(
+        partials, ["lang", "token"],
+        lambda g: g.groupby(["lang", "token"], sort=False)["cnt"].sum()
+        .reset_index(name="n"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("lang", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = (g.groupby("lang", sort=False).cumcount() + 1).astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return hash_rollup(counts, ["lang"], topk, npartitions=4)
+
+
+def top_tokens_sql(k: int = TOP_TOKENS_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT lang, tok AS token
+  FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
+       AS t(tok)),
+counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token),
+ranked AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token ASC) AS rank
+  FROM counts)
+SELECT lang, token, n, rank FROM ranked WHERE rank <= {k}
+"""
