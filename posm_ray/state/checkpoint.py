@@ -96,9 +96,15 @@ def _partition_stats(part_dir: str, stat_col: str | None) -> dict:
 
 
 def finalize_manifests(out_dir: str, part_col: str,
-                       stat_col: str | None = None) -> list[str]:
+                       stat_col: str | None = None,
+                       write_sec: float | None = None) -> list[str]:
     """Write manifests for every partition dir that lacks one. Returns the
-    newly finalized keys. Call AFTER a write completes."""
+    newly finalized keys. Call AFTER a write completes. ``write_sec`` (the
+    run's write wall time) lands in each manifest — the per-item duration
+    log of the reference's resumable topology build
+    (proc_functions.sql:20,47), at partition granularity."""
+    import time as _time
+
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     done = completed_keys(out_dir)
@@ -112,6 +118,9 @@ def finalize_manifests(out_dir: str, part_col: str,
             continue
         stats = _partition_stats(os.path.join(out_dir, name), stat_col)
         stats["key"] = key
+        stats["finalized_unix"] = int(_time.time())
+        if write_sec is not None:
+            stats["run_write_sec"] = round(write_sec, 3)
         tmp = os.path.join(mdir, f".{key}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(stats, fh, sort_keys=True)
@@ -183,15 +192,20 @@ def resumable_write(ds, out_dir: str, *, cell_col: str = "cell_r7",
 
     Returns {"skipped": n_complete, "written": newly_finalized_keys}.
     """
+    import time as _time
+
     os.makedirs(out_dir, exist_ok=True)
     clean_incomplete(out_dir, part_col)
     done = completed_keys(out_dir)
     keyed = add_partition_key(ds, cell_col, range_res=range_res,
                               part_col=part_col)
     remaining = filter_completed(keyed, done, part_col)
+    t0 = _time.perf_counter()
     # min_rows_per_file keeps one file per partition dir for small outputs
     remaining.write_parquet(out_dir, partition_cols=[part_col])
-    new = finalize_manifests(out_dir, part_col, stat_col or cell_col)
+    write_sec = _time.perf_counter() - t0
+    new = finalize_manifests(out_dir, part_col, stat_col or cell_col,
+                             write_sec=write_sec)
     return {"skipped": len(done), "written": new}
 
 
