@@ -212,13 +212,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "fingerprints": textops.fingerprints,
         "dedup_exact": textops.dedup_exact_winners,
+        "dedup_exact_rows": textops.dedup_exact_surviving,
         "noisy_documents": textops.noisy_documents,
         "quality_quartiles": textops.quality_quartiles,
         "top_tokens": textops.top_tokens,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
-        # heuristic / non-SQL ops (rows-only checks)
         "lang_quality": textops.lang_quality,
+        # heuristic / non-SQL ops (rows-only checks)
+        "rolling_fingerprints": textops.rolling_fingerprints,
         "minhash_near_dups": textops.minhash_near_dups,
         "simhash_near_dups": textops.simhash_near_dups,
         "knn_geo": _q_knn_geo,
@@ -299,21 +301,18 @@ FROM dims
 
 
 def _q_minhash_clusters(sf_dir: str):
-    """End-to-end near-dup dedup: minhash-LSH candidates -> exact Jaccard
-    verify -> union-find clusters; (doc_id, cluster_rep) rows for every doc
-    in a cluster (rows-only — minhash not SQL-expressible)."""
-    import pyarrow as pa
-
+    """End-to-end near-dup dedup: minhash-LSH candidates -> distributed
+    exact-Jaccard verify -> DISTRIBUTED min-label propagation clustering
+    (no driver union-find); (doc_id, cluster_rep) rows for every
+    non-representative member, sorted for row stability (rows-only —
+    minhash not SQL-expressible). Pytest pins equality with the driver
+    union-find on the same fixture."""
     from posm_ray.pipelines import textops
     from posm_ray.stages import dedup as dedup_stage
 
-    verified = textops.minhash_near_dups(sf_dir)
-    clusters = dedup_stage.near_dup_clusters(verified)
-    items = sorted(clusters.items())
-    return pa.table({
-        "doc_id": pa.array([k for k, _ in items], pa.int64()),
-        "cluster_rep": pa.array([v for _, v in items], pa.int64()),
-    })
+    verified = textops.minhash_verified_pairs(sf_dir)
+    clusters = dedup_stage.near_dup_clusters_distributed(verified)
+    return clusters.sort(["doc_id"]).to_pandas()
 
 
 def _q_raster_tiles(sf_dir: str):
@@ -359,21 +358,28 @@ def _q_s2_covering(sf_dir: str):
 
 
 def _s2_covering_sql() -> str:
+    # Mirrors cells.covering including the antimeridian split: a wrapped
+    # bbox (minx > maxx) covers [ix0, nx-1] ∪ [0, ix1]; DISTINCT matches
+    # the python side's np.unique.
     nx, ny = cells.ncols(4), cells.nrows(4)
     return f"""
 WITH b AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(0)})
            AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
 r AS (
-  SELECT osm_id,
+  SELECT osm_id, minx > maxx AS wraps,
     LEAST(GREATEST(CAST(FLOOR((minx + 180.0) / 360.0 * {nx}) AS BIGINT), 0), {nx - 1}) AS ix0,
     LEAST(GREATEST(CAST(FLOOR((maxx + 180.0) / 360.0 * {nx}) AS BIGINT), 0), {nx - 1}) AS ix1,
     LEAST(GREATEST(CAST(FLOOR((miny + 90.0) / 180.0 * {ny}) AS BIGINT), 0), {ny - 1}) AS iy0,
     LEAST(GREATEST(CAST(FLOOR((maxy + 90.0) / 180.0 * {ny}) AS BIGINT), 0), {ny - 1}) AS iy1
   FROM b)
-SELECT osm_id,
+SELECT DISTINCT osm_id,
        (CAST(4 AS BIGINT) << 48) | (CAST(gx AS BIGINT) << 24)
          | CAST(gy AS BIGINT) AS cell
-FROM r, UNNEST(range(ix0, ix1 + 1)) tx(gx), UNNEST(range(iy0, iy1 + 1)) ty(gy)
+FROM r,
+     UNNEST(CASE WHEN wraps
+                 THEN list_concat(range(ix0, {nx}), range(0, ix1 + 1))
+                 ELSE range(ix0, ix1 + 1) END) tx(gx),
+     UNNEST(range(iy0, iy1 + 1)) ty(gy)
 """
 
 
@@ -642,6 +648,90 @@ FROM b2 JOIN b1 ON b2.parent_id = b1.osm_id
 """
 
 
+def _boundary_cand_sql() -> str:
+    """Hierarchy-pass candidate set: valid, id+name present, not
+    blocklisted (fixture ids are unique, so blocklist membership ≡ the
+    row's own reason/boundary gates)."""
+    return f"""
+raw AS ({bsrc.raw_norm_sql()}),
+cand AS (
+  SELECT * FROM raw
+  WHERE reason IS NULL AND prep_id IS NOT NULL AND nm_en IS NOT NULL
+    AND boundary = 'administrative'),
+l0b AS (SELECT * FROM cand WHERE admin_level = '2'),
+l1b AS (
+  SELECT c.* FROM cand c JOIN l0b b0
+    ON c.cx > b0.minx AND c.cx < b0.maxx
+   AND c.cy > b0.miny AND c.cy < b0.maxy
+  WHERE c.admin_level = {bsrc.mapping_case_sql(1, 'b0.prep_id')})
+"""
+
+
+def _boundary_hierarchy_sql() -> str:
+    """DuckDB twin of the extract.py:92-355 lifecycle over the inlined raw
+    fixture (bbox-center containment == the PIP kernel's decision on
+    axis-aligned rectangles; reasons are fixture-design constants)."""
+    return f"""
+WITH {_boundary_cand_sql()}
+SELECT prep_id AS osm_id, nm_en AS name, nm_en AS name_en,
+       CAST(2 AS INT) AS adminlevel, iso_u AS iso3166,
+       CAST(NULL AS VARCHAR) AS is_in
+FROM l0b
+UNION ALL
+SELECT c.prep_id, c.nm_en, c.nm_en, CAST(c.admin_level AS INT),
+       CAST(NULL AS VARCHAR), b0.prep_id
+FROM cand c JOIN l0b b0
+  ON c.cx > b0.minx AND c.cx < b0.maxx
+ AND c.cy > b0.miny AND c.cy < b0.maxy
+WHERE c.admin_level = {bsrc.mapping_case_sql(1, 'b0.prep_id')}
+UNION ALL
+SELECT c.prep_id, c.nm_en, c.nm_en, CAST(c.admin_level AS INT),
+       CAST(NULL AS VARCHAR), b1.prep_id
+FROM cand c
+JOIN l0b b0 ON c.cx > b0.minx AND c.cx < b0.maxx
+           AND c.cy > b0.miny AND c.cy < b0.maxy
+JOIN l1b b1 ON c.cx > b1.minx AND c.cx < b1.maxx
+           AND c.cy > b1.miny AND c.cy < b1.maxy
+WHERE c.admin_level = {bsrc.mapping_case_sql(2, 'b0.prep_id')}
+"""
+
+
+def _boundary_discards_sql() -> str:
+    """DuckDB twin of discards_table (extract_all.py:55-81 semantics)."""
+    return f"""
+WITH raw AS ({bsrc.raw_norm_sql()})
+SELECT osm_id_raw AS osm_id, name, admin_level AS adminlevel, reason
+FROM raw WHERE reason IS NOT NULL AND reason <> 'BONKERS!'
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), name, admin_level,
+       'Feature without OSM_ID!'
+FROM raw WHERE reason IS NULL AND prep_id IS NULL
+"""
+
+
+def _boundary_problems_sql() -> str:
+    """DuckDB twin of problems_table: link assembly per genProblemLink /
+    writeProblem (exposm/utils.py:118-153) over the fixture-design
+    (reason, plon, plat) constants."""
+    base = """CASE substr(prep_id, 1, 1)
+      WHEN 'N' THEN 'http://www.openstreetmap.org/node/' || substr(prep_id, 2)
+      WHEN 'W' THEN 'http://www.openstreetmap.org/way/' || substr(prep_id, 2)
+      WHEN 'R' THEN 'http://www.openstreetmap.org/relation/' || substr(prep_id, 2)
+      ELSE 'Unknown feature type for osm_id: ' || prep_id END"""
+    return f"""
+WITH raw AS ({bsrc.raw_norm_sql()})
+SELECT prep_id AS osm_id, reason,
+       CASE WHEN plon = 0.0 AND plat = 0.0 THEN {base}
+            ELSE {base} || '?mlat=' || CAST(plat AS VARCHAR)
+                 || '&mlon=' || CAST(plon AS VARCHAR)
+                 || '#map=18/' || CAST(plat AS VARCHAR)
+                 || '/' || CAST(plon AS VARCHAR) END AS link,
+       plon AS lon, plat AS lat
+FROM raw
+WHERE prep_id IS NOT NULL AND nm_en IS NOT NULL AND reason IS NOT NULL
+"""
+
+
 def _q_boundary_hierarchy(sf_dir: str):
     """Accepted levels 0-2 of the posm extract lifecycle on the raw fixture
     (extract.py:92-355 semantics; sf_dir unused — boundary fixture input)."""
@@ -673,14 +763,18 @@ def _q_boundary_problems(sf_dir: str):
 
 def _q_knn_geo(sf_dir: str):
     """Exact haversine kNN: first 16 geocoded docs as queries against all
-    geocoded pages (rows-only: trig output differs across libms)."""
+    geocoded pages. Oracle: DuckDB haversine-in-SQL twin ranks the same ids
+    (ids+rank compared; the float distance column is dropped)."""
     import numpy as np
+    import pyarrow.compute as pc
 
     from posm_ray.stages import extract as extract_stage, knn
 
     pages = synth.read_pages(sf_dir)
-    ds = extract_stage.extracted_pages(pages).filter(
-        lambda r: bool(r["geocoded"]))
+    # vectorized Arrow mask — never Dataset.filter(lambda) on the big side
+    ds = extract_stage.extracted_pages(pages).map_batches(
+        lambda b: b.filter(pc.equal(b["geocoded"], True)),
+        batch_format="pyarrow")
     qid = np.arange(1, 17, dtype=np.int64)
     queries_d = {"id": qid, "lat": synth.derive_lat(qid),
                  "lon": synth.derive_lon(qid)}
@@ -688,9 +782,54 @@ def _q_knn_geo(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def _knn_geo_sql() -> str:
+    """DuckDB twin of _q_knn_geo: same haversine shape (radians first, then
+    differences — mirrors geom.kernels.haversine_m's op order), ranking by
+    (distance, neighbor_id). Only (query_id, neighbor_id, rank) are
+    compared — the float distance column is dropped on both sides, so libm
+    differences can only matter on near-ties, which the synthetic coords
+    don't produce (exact ties — duplicated mega-cell points — break by
+    neighbor_id identically on both sides)."""
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {synth.lat_sql()} AS lat, {synth.lon_sql()} AS lon
+  FROM documents),
+q AS (SELECT * FROM pts WHERE doc_id BETWEEN 1 AND 16),
+d AS (
+  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+         2.0 * 6371000.0 * ASIN(SQRT(
+           POW(SIN((RADIANS(p.lat) - RADIANS(q.lat)) / 2.0), 2)
+           + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))
+             * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2))) AS dist
+  FROM q CROSS JOIN pts p WHERE p.doc_id <> q.doc_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM d) WHERE rank <= 5
+"""
+
+
+def _ann_cosine_sql() -> str:
+    """DuckDB twin of _q_ann_cosine: list_cosine_similarity ranking with
+    (cosine DESC, neighbor_id) — ids+rank compared, float column dropped."""
+    return """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cosine
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM d) WHERE rank <= 5
+"""
+
+
 def _q_ann_cosine(sf_dir: str):
     """Exact cosine top-k over the embeddings table, query = first 16
-    vectors (rows-only: float sums depend on op order)."""
+    vectors. Oracle compares (query_id, neighbor_id, rank) only."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -723,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "fingerprints": textops.FINGERPRINTS_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "dedup_exact_rows": textops.DEDUP_EXACT_ROWS_SQL,
         "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
         "quality_quartiles": textops.QUALITY_QUARTILES_SQL,
         "top_tokens": textops.top_tokens_sql(),
@@ -739,11 +879,19 @@ def oracle_sql() -> dict[str, str]:
         "late_events": _events_late_sql(),
         "type_revenue": relational.TYPE_REVENUE_SQL,
         "doc_sample": relational.DOC_SAMPLE_SQL,
+        "knn_geo": _knn_geo_sql(),
+        "ann_cosine": _ann_cosine_sql(),
+        "lang_quality": textops.lang_quality_sql(),
+        "boundary_hierarchy": _boundary_hierarchy_sql(),
+        "boundary_discards": _boundary_discards_sql(),
+        "boundary_problems": _boundary_problems_sql(),
         "raster_tiles": _raster_tiles_sql(),
         "s2_covering": _s2_covering_sql(),
         "media_resize": _media_resize_sql(),
-        # lang_quality / minhash / simhash / knn_geo / ann_cosine /
-        # ann_cosine_lsh / media_embed / all_geom / simple_admin /
-        # poly_export: intentionally omitted (heuristic, float-order-
-        # sensitive, or geometry-valued) -> driver records rows-only checks.
+        # Intentionally omitted (rows-only checks): minhash_* / simhash /
+        # rolling_fingerprints (hash pipelines not SQL-expressible),
+        # ann_cosine_lsh / ann_cosine_ivf (approximate-by-design),
+        # media_embed (float vectors), all_geom / simple_admin /
+        # poly_export (geometry-valued), resumable_tiles (layout-dependent
+        # manifests), approx_distinct_domains (sketch).
     }

@@ -148,8 +148,14 @@ def scaling() -> dict:
             env=env, capture_output=True, text=True, cwd=os.path.dirname(
                 os.path.abspath(__file__)),
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        runs[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling leg num_cpus={cpus} failed "
+                f"(rc={out.returncode}); stderr tail:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-20:]))
+        runs[cpus] = json.loads(lines[-1])
     tlo = runs[lo]["docs_per_sec"]
     thi = runs[hi]["docs_per_sec"]
     eff = (thi / tlo) / (hi / lo)

@@ -43,6 +43,16 @@ def _configure_data_context() -> None:
         # per-query knob (groupby(num_partitions=...) / hash_rollup
         # npartitions) overrides where a wider exchange is wanted
         ctx.default_hash_shuffle_parallelism = 32
+        # Aggregator actors reserve min(1, cpus/2/partitions)*ratio CPUs
+        # EACH and pools whose (materialized) outputs are still referenced
+        # stay alive — a pipeline chaining several distinct shuffle shapes
+        # accumulates pools until new ones wait out the 300 s
+        # aggregator-health timeout (measured: the distributed minhash
+        # verify crawled 10x slower, then deadlocked at num_cpus=4).
+        # Aggregator work is memory-bound concat, not CPU-bound, so reserve
+        # a nominal CPU share; the SPREAD strategy still distributes the
+        # actors across nodes on a real cluster.
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.001
     except Exception:  # pragma: no cover - older ray without the enum
         pass
 

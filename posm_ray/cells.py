@@ -143,7 +143,16 @@ def covering(minx: float, miny: float, maxx: float, maxy: float, res: int) -> np
     Used to register boundary polygons in the per-actor grid index and to
     compute kNN halo shards. The bbox is treated as closed; the cell grid is
     half-open, so edge-touching cells are included (safe over-covering).
+
+    A bbox crossing the antimeridian (minx > maxx, e.g. Fiji) splits into
+    two coverings, [minx, 180] and [-180, maxx] — previously such boxes
+    silently produced an EMPTY covering and dropped out of the grid index.
+    ``neighbors`` wraps longitude the same way.
     """
+    if minx > maxx:
+        west = covering(minx, miny, 180.0, maxy, res)
+        east = covering(-180.0, miny, maxx, maxy, res)
+        return np.unique(np.concatenate([west, east]))
     nx, ny = ncols(res), nrows(res)
     ix0 = int(min(max(np.floor((minx + 180.0) / 360.0 * nx), 0), nx - 1))
     ix1 = int(min(max(np.floor((maxx + 180.0) / 360.0 * nx), 0), nx - 1))

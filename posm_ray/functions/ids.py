@@ -14,8 +14,10 @@ def prepare_osm_id(layer: pa.Array, osm_id: pa.Array,
     """Layer-dependent id prefixing (reference exposm/utils.py:13-35):
 
       points -> N{osm_id}; lines -> W{osm_id};
-      multipolygons -> W{osm_way_id} if only the way id is set, else
-      R{osm_id}, else null (discard);
+      multipolygons -> W{osm_way_id} if ONLY the way id is set,
+      R{osm_id} if ONLY osm_id is set, else null (discard) — the
+      reference's else-branch rejects rows with BOTH ids set as well as
+      rows with neither ("Can't detect osm_id, discarding");
       multilinestrings / other_relations -> R{osm_id};
       unknown layer -> null (discard).
 
@@ -43,9 +45,9 @@ def prepare_osm_id(layer: pa.Array, osm_id: pa.Array,
         elif lyr == "lines":
             out.append(w_np[i])
         elif lyr == "multipolygons":
-            if has_osm[i]:
+            if has_osm[i] and not has_way[i]:
                 out.append(r_np[i])
-            elif has_way[i]:
+            elif has_way[i] and not has_osm[i]:
                 out.append(ww_np[i])
             else:
                 out.append(None)

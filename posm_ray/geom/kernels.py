@@ -134,9 +134,17 @@ def representative_point(rings: RingList) -> tuple[float, float]:
             x = (xs[2 * k] + xs[2 * k + 1]) / 2.0
             if point_in_rings(x, y, rings):
                 return float(x), float(y)
-    # last resort: first vertex nudged inward toward centroid
+    # last resort: first vertex nudged inward toward the centroid — a bare
+    # vertex lies ON the ring boundary and would break the inside contract;
+    # try successively larger nudges and keep the first that verifies.
     p = rings[0][0]
-    return float(p[0]) , float(p[1])
+    for eps in (1e-9, 1e-7, 1e-5, 1e-3, 0.5):
+        x = float(p[0] + eps * (cx - p[0]))
+        y = float(p[1] + eps * (cy - p[1]))
+        if point_in_rings(x, y, rings):
+            return x, y
+    # best-effort fallback (degenerate geometry with no verifiable interior)
+    return float(p[0]), float(p[1])
 
 
 def _scanline_crossings(y: float, rings: RingList) -> np.ndarray:

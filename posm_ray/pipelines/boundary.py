@@ -38,6 +38,7 @@ from ..functions import ids as idfn
 from ..geom import kernels, wkb
 from ..geom.index import GridIndex
 from ..sources import boundaries as bsrc
+from ..util import default_pool
 
 LEVEL0_ADMIN_LEVEL = "2"  # extract.py:141 — countries are admin_level '2'
 
@@ -154,10 +155,14 @@ def problems_table(norm) -> pa.Table:
     """(osm_id, reason, link, lon, lat) — rows that passed the id+name gates
     but failed the validity gate (extract.py:118-126 + utils.py:129-153).
     The Point geometry is the parsed problem location."""
-    flt = norm.filter(
-        lambda r: r["osm_id"] is not None and r["name_en"] is not None
-        and r["reason"] is not None
-    )
+
+    def mask(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b["osm_id"]),
+                            pc.is_valid(b["name_en"])),
+                    pc.is_valid(b["reason"]))
+        return b.filter(m)
+
+    flt = norm.map_batches(mask, batch_format="pyarrow")
     out = {"osm_id": [], "reason": [], "link": [], "lon": [], "lat": []}
     for b in flt.iter_batches(batch_format="pyarrow"):
         for osm_id, reason in zip(b["osm_id"].to_pylist(),
@@ -218,10 +223,15 @@ def unusable_ids(norm) -> frozenset[str]:
     """Blocklist (extract.py:73,122,135): ids with bad geometry or a
     non-administrative boundary tag. Small set — collected to the driver
     and broadcast (X4 analogue)."""
-    flt = norm.filter(
-        lambda r: r["osm_id"] is not None and (
-            r["reason"] is not None or r["boundary"] != "administrative")
-    ).select_columns(["osm_id"])
+    def mask(b: pa.Table) -> pa.Table:
+        non_admin = pc.fill_null(
+            pc.not_equal(b["boundary"], "administrative"), True)
+        m = pc.and_(pc.is_valid(b["osm_id"]),
+                    pc.or_(pc.is_valid(b["reason"]), non_admin))
+        return b.filter(m)
+
+    flt = norm.map_batches(mask, batch_format="pyarrow") \
+        .select_columns(["osm_id"])
     out: set[str] = set()
     for b in flt.iter_batches(batch_format="pyarrow"):
         out.update(b["osm_id"].to_pylist())
@@ -250,23 +260,33 @@ def _accept_table(rows: dict) -> pa.Table:
 
 def accept_level0(norm) -> pa.Table:
     """Pass 0 (extract.py:92-162): valid, administrative, admin_level=='2';
-    saved name = name_en; is_in = NULL."""
-    flt = norm.filter(
-        lambda r: r["osm_id"] is not None and r["name_en"] is not None
-        and r["reason"] is None and r["boundary"] == "administrative"
-        and r["admin_level"] == LEVEL0_ADMIN_LEVEL
-    )
-    rows = {k: [] for k in _ACCEPT_SCHEMA.names}
-    for b in flt.iter_batches(batch_format="pyarrow"):
-        for r in b.to_pylist():
-            rows["osm_id"].append(r["osm_id"])
-            rows["name"].append(r["name_en"])   # extract.py:146 name<-name_en
-            rows["name_en"].append(r["name_en"])
-            rows["adminlevel"].append(int(r["admin_level"]))
-            rows["iso3166"].append(r["iso3166"])
-            rows["is_in"].append(None)
-            rows["geom_wkb"].append(r["geom_wkb"])
-    return _accept_table(rows)
+    saved name = name_en; is_in = NULL. Fully vectorized (Arrow mask +
+    column projection — no per-row python)."""
+
+    def accept(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b["osm_id"]),
+                            pc.is_valid(b["name_en"])),
+                    pc.is_null(b["reason"]))
+        m = pc.and_(m, pc.fill_null(
+            pc.equal(b["boundary"], "administrative"), False))
+        m = pc.and_(m, pc.fill_null(
+            pc.equal(b["admin_level"], LEVEL0_ADMIN_LEVEL), False))
+        b = b.filter(m)
+        return pa.table({
+            "osm_id": b["osm_id"],
+            "name": b["name_en"],   # extract.py:146 name<-name_en
+            "name_en": b["name_en"],
+            "adminlevel": pc.cast(b["admin_level"], pa.int32()),
+            "iso3166": b["iso3166"],
+            "is_in": pa.nulls(b.num_rows, pa.string()),
+            "geom_wkb": b["geom_wkb"],
+        })
+
+    tables = list(norm.map_batches(accept, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow"))
+    tables = [t for t in tables if t.num_rows]
+    return (pa.concat_tables(tables).combine_chunks() if tables
+            else _accept_table({k: [] for k in _ACCEPT_SCHEMA.names}))
 
 
 class _HierarchyPass:
@@ -295,9 +315,10 @@ class _HierarchyPass:
             import ray
 
             bl = ray.get(blocklist)
-        self.blocklist = bl
+        self.blocklist = np.array(sorted(bl), dtype=object)
         self.mapping_default = mapping_default
         self.mapping_overrides = mapping_overrides
+        self._search_cache: dict[str, str | None] = {}
 
     @staticmethod
     def _build(table: pa.Table) -> GridIndex:
@@ -311,45 +332,50 @@ class _HierarchyPass:
         return override if override else self.mapping_default.get(key)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {k: [] for k in _ACCEPT_SCHEMA.names}
+        """Vectorized acceptance — all gates are numpy/Arrow masks
+        (gate semantics match extract.py:180-206 / 274-301; the former
+        per-row python loop was the repo's own anti-pattern #7)."""
         rep_lat = batch["rep_lat"].to_numpy(zero_copy_only=False)
         rep_lon = batch["rep_lon"].to_numpy(zero_copy_only=False)
         finite = np.isfinite(rep_lat) & np.isfinite(rep_lon)
         qlat = np.where(finite, rep_lat, 0.0)
         qlon = np.where(finite, rep_lon, 0.0)
+        osm_id = np.asarray(batch["osm_id"].to_pylist(), dtype=object)
+        has_id = np.array([v is not None for v in osm_id], dtype=bool)
+        has_name = pc.is_valid(batch["name_en"]).to_numpy(zero_copy_only=False)
+        blocked = np.isin(osm_id, self.blocklist)
+        base = has_id & has_name & ~blocked & finite
+
         in_country = self.idx0.query_points(qlat, qlon)
-        in_state = (self.idx1.query_points(qlat, qlon)
-                    if self.idx1 is not None else None)
-        cols = batch.to_pylist()
-        for i, r in enumerate(cols):
-            # gate order matches extract.py:180-206 / 274-301
-            if r["osm_id"] is None or r["name_en"] is None:
-                continue
-            if r["osm_id"] in self.blocklist:
-                continue
-            if not finite[i]:
-                continue
-            country = in_country[i] or None
-            if country is None:
-                continue  # extract.py:238-243 drop-if-no-country
-            search = self._search_level(country)
-            if self.level == 2:
-                state = in_state[i] or None
-                if state is None:
-                    continue  # extract.py:334-338 drop-if-no-state
-                parent = state
-            else:
-                parent = country
-            if search is None or r["admin_level"] != str(search):
-                continue
-            rows["osm_id"].append(r["osm_id"])
-            rows["name"].append(r["name_en"])
-            rows["name_en"].append(r["name_en"])
-            rows["adminlevel"].append(int(r["admin_level"]))
-            rows["iso3166"].append(None)  # only level 0 carries iso3166
-            rows["is_in"].append(parent)
-            rows["geom_wkb"].append(r["geom_wkb"])
-        return _accept_table(rows)
+        country_ok = base & (in_country != "")
+        # per-country mapping predicate, vectorized over unique countries
+        search = np.full(len(osm_id), None, dtype=object)
+        for c in set(in_country[country_ok]):
+            if c not in self._search_cache:
+                self._search_cache[c] = self._search_level(c)
+            search[in_country == c] = self._search_cache[c]
+        admin_level = np.asarray(batch["admin_level"].to_pylist(), dtype=object)
+        level_ok = np.array(
+            [s is not None and a == str(s)
+             for s, a in zip(search, admin_level)], dtype=bool)
+        mask = country_ok & level_ok
+        if self.level == 2:
+            in_state = self.idx1.query_points(qlat, qlon)
+            mask &= in_state != ""  # extract.py:334-338 drop-if-no-state
+            parent = in_state
+        else:
+            parent = in_country
+        b = batch.filter(pa.array(mask))
+        par = pa.array([p for p, m in zip(parent, mask) if m], pa.string())
+        return pa.table({
+            "osm_id": b["osm_id"],
+            "name": b["name_en"],
+            "name_en": b["name_en"],
+            "adminlevel": pc.cast(b["admin_level"], pa.int32()),
+            "iso3166": pa.nulls(b.num_rows, pa.string()),
+            "is_in": par,
+            "geom_wkb": b["geom_wkb"],
+        })
 
 
 def accept_hierarchy_level(norm, level: int, parent_tables: list[pa.Table],
@@ -372,7 +398,8 @@ def accept_hierarchy_level(norm, level: int, parent_tables: list[pa.Table],
         zero_copy_batch=True,
         fn_constructor_kwargs=dict(level=level, refs=refs, blocklist=bl_ref,
                                    mapping_default=md, mapping_overrides=mo),
-        concurrency=concurrency if concurrency is not None else (1, 4),
+        concurrency=(concurrency if concurrency is not None
+                     else default_pool()),
     )
     tables = list(ds.iter_batches(batch_format="pyarrow"))
     tables = [t for t in tables if t.num_rows]

@@ -98,6 +98,12 @@ def asof_prior_click(sf_dir: str):
         clicks = g[g["event_type"] == "click"][
             ["ts", "user_id", "event_id"]].rename(
             columns={"event_id": "prior_click"})
+        # ties on (user_id, ts) resolve to max(event_id) on BOTH sides —
+        # pandas merge_asof would pick the last-sorted row while DuckDB
+        # ASOF JOIN's pick among equal-ts matches is unspecified, so make
+        # the tie impossible instead (same GROUP BY in the SQL twin).
+        clicks = clicks.drop_duplicates(subset=["user_id", "ts"],
+                                        keep="last")
         out = pd.merge_asof(g[["ts", "user_id", "event_id"]], clicks,
                             on="ts", by="user_id", direction="backward",
                             allow_exact_matches=True)
@@ -114,7 +120,8 @@ ASOF_PRIOR_CLICK_SQL = """
 SELECT e.event_id, e.user_id,
        COALESCE(c.event_id, -1) AS prior_click
 FROM events e ASOF LEFT JOIN (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
   ON e.user_id = c.user_id AND e.ts >= c.ts
 """
 
@@ -212,6 +219,30 @@ def _disordered(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _max_event_id(path: str) -> int:
+    """Max event_id from parquet row-group statistics — metadata only, no
+    column read (the checkpoint module's cell_lo/cell_hi pattern,
+    state/checkpoint.py). Falls back to a distributed ``ds.max`` if any
+    row group lacks stats; never a full-column driver read."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    names = md.schema.to_arrow_schema().names
+    ci = names.index("event_id")
+    hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            hi = None
+            break
+        hi = st.max if hi is None else max(hi, st.max)
+    if hi is None:
+        import ray.data as rd
+
+        hi = rd.read_parquet(path, columns=["event_id"]).max("event_id")
+    return int(hi)
+
+
 def late_events(sf_dir: str, lateness_min: int = LATENESS_MIN,
                 nparts: int = 16):
     """Watermark-style late-data flagging over a disordered stream
@@ -230,12 +261,9 @@ def late_events(sf_dir: str, lateness_min: int = LATENESS_MIN,
        back; watermark_i = max(prefix_before_partition, local running max).
 
     Output (event_id, user_id, is_late) — exact window-function oracle."""
-    import pyarrow.parquet as pq
-
     import ray
 
-    md = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
-    max_id = int(pd.Series(md["event_id"].to_numpy()).max())
+    max_id = _max_event_id(f"{sf_dir}/events.parquet")
     span = max_id + 1
 
     ds = _disordered(sf_dir)

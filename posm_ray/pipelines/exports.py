@@ -148,16 +148,35 @@ def _geojson_feature(osm_id: str, rings, is_boundary: bool = False) -> dict:
 
 
 def convert_to_topojson(path: str, require_cli: bool = False) -> bool:
-    """The reference shells out to the node ``topojson`` CLI
-    (prepare_topojson.py:62-75); that binary does not exist in this
-    environment, so the conversion step is a documented stub: with
-    ``require_cli=True`` it raises NotImplementedError, otherwise it
-    returns False (geometry.geojson inputs are still fully written)."""
+    """Convert ``{path}/geometry.geojson`` to ``{path}/topology.json``.
+
+    The reference shells to the node ``topojson`` CLI
+    (prepare_topojson.py:62-75); that binary does not exist here, so the
+    conversion runs the repo's pure-python shared-arc encoder
+    (geom.topology.build_topology — join/cut/dedup per the public TopoJSON
+    spec). ``require_cli=True`` still raises, documenting the CLI path the
+    reference used. Returns True when topology.json was written."""
     if require_cli:
         raise NotImplementedError(
-            "node 'topojson' CLI unavailable; geometry.geojson prepared at "
-            + path)
-    return False
+            "node 'topojson' CLI unavailable; pure-python encoder used "
+            "instead (geom/topology.py); inputs at " + path)
+    src = os.path.join(path, "geometry.geojson")
+    if not os.path.exists(src):
+        return False
+    from ..geom import topology as topo
+
+    with open(src) as f:
+        fc = json.load(f)
+    feats = []
+    for ft in fc.get("features", []):
+        rings = [np.asarray(ring, dtype=np.float64)
+                 for poly in ft["geometry"]["coordinates"] for ring in poly]
+        feats.append({"id": ft["properties"].get("osm_id"),
+                      "rings": rings, "properties": ft["properties"]})
+    t = topo.build_topology(feats)
+    with open(os.path.join(path, "topology.json"), "w") as f:
+        json.dump(t, f, sort_keys=True)
+    return True
 
 
 def topojson_tree(view1, view2, out_dir: str, view0=None):

@@ -73,6 +73,19 @@ FROM ({NOISY_DOCUMENTS_SQL}) GROUP BY md5(text)
 """
 
 
+def dedup_exact_surviving(sf_dir: str):
+    """Surviving full rows of the noisy corpus after exact dedup —
+    hash-partitioned min-id winner per content hash (dedup.dedup_exact_rows;
+    exact QUALIFY oracle twin)."""
+    return dedup_stage.dedup_exact_rows(noisy_documents(sf_dir))
+
+
+DEDUP_EXACT_ROWS_SQL = f"""
+SELECT doc_id, text, lang FROM ({NOISY_DOCUMENTS_SQL})
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+"""
+
+
 def token_counts(sf_dir: str):
     import ray.data as rd
 
@@ -150,7 +163,10 @@ FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS content_hash FROM documents"
 
 
 def lang_quality(sf_dir: str):
-    """Language id + stopword hits (heuristic — rows-only check, no SQL)."""
+    """Language id + stopword hits. The marker-count heuristic is exact
+    integer arithmetic over string counts, so it IS oracle-checked
+    (LANG_QUALITY_SQL mirrors the non-overlapping count via replace()); the
+    rolling-hash fingerprint lives in ``rolling_fingerprints`` (rows-only)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -165,6 +181,58 @@ def lang_quality(sf_dir: str):
             "lang": batch["lang"],
             "lang_pred": pa.array(pred, pa.string()),
             "stop_hits": pa.array(hits, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _marker_score_sql(code: str) -> str:
+    """Non-overlapping marker-occurrence count over ' '||lower(text)||' ' —
+    same left-to-right semantics as python str.count/replace."""
+    terms = []
+    for m in textfn._LANG_MARKERS[code]:
+        esc = m.replace("'", "''")
+        terms.append(f"(length(p) - length(replace(p, '{esc}', '')))"
+                     f" // {len(m)}")
+    return " + ".join(terms)
+
+
+def lang_quality_sql() -> str:
+    codes = sorted(textfn._LANG_MARKERS)
+    scores = ",\n         ".join(
+        f"CAST({_marker_score_sql(c)} AS BIGINT) AS s_{c}" for c in codes)
+    glist = ", ".join(f"s_{c}" for c in codes)
+    # lang_id iterates codes alphabetically replacing on STRICTLY greater,
+    # so ties go to the alphabetically-first code; all-zero -> 'und'
+    pred = " ".join(f"WHEN s_{c} = m THEN '{c}'" for c in codes)
+    return f"""
+WITH padded AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM padded),
+best AS (
+  SELECT *, GREATEST({glist}) AS m FROM scored)
+SELECT doc_id, lang,
+       CASE WHEN m = 0 THEN 'und' {pred} END AS lang_pred,
+       s_en AS stop_hits
+FROM best
+"""
+
+
+def rolling_fingerprints(sf_dir: str):
+    """Karp-Rabin winnowing fingerprint per doc (rows-only — the rolling
+    modular hash is not SQL-expressible)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
             "fingerprint": pa.array(
                 [textfn.rolling_fingerprint(t) for t in texts], pa.int64()),
         })
@@ -172,15 +240,22 @@ def lang_quality(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def minhash_near_dups(sf_dir: str):
-    """MinHash-LSH near-dup pairs over the noisy corpus, Jaccard-verified.
-    Returns a pandas DataFrame (a, b, jaccard>=0.35 pairs) — rows-only check
-    (minhash is not SQL-expressible)."""
+def minhash_verified_pairs(sf_dir: str, *, threshold: float = 0.35):
+    """MinHash-LSH candidates -> DISTRIBUTED exact-Jaccard verify
+    (dedup.verify_jaccard_pairs_distributed — co-partitioned pairs+texts,
+    no driver materialization). Returns the verified-pairs Dataset."""
     docs = noisy_documents(sf_dir)
     pairs = dedup_stage.minhash_candidate_pairs(docs)
-    verified = dedup_stage.verify_jaccard_pairs(
-        pairs, noisy_documents(sf_dir), threshold=0.35)
-    out = verified[["a", "b", "jaccard"]].copy()
+    return dedup_stage.verify_jaccard_pairs_distributed(
+        pairs, noisy_documents(sf_dir), threshold=threshold)
+
+
+def minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup pairs over the noisy corpus, Jaccard-verified.
+    The pipeline is fully distributed; only the (small) verified-pair
+    RESULT is collected for the deterministic sorted return — rows-only
+    check (minhash is not SQL-expressible)."""
+    out = minhash_verified_pairs(sf_dir).to_pandas()[["a", "b", "jaccard"]]
     out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -326,17 +401,20 @@ def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
             toks = [w for w in t.split(" ") if w]
             out_lang.extend([lg] * len(toks))
             out_tok.extend(toks)
-        df = pd.DataFrame({"lang": out_lang, "token": out_tok})
-        g = df.groupby(["lang", "token"], sort=False).size() \
-            .reset_index(name="cnt")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({"lang": pa.array(out_lang, pa.string()),
+                      "token": pa.array(out_tok, pa.string())})
+        g = pa.TableGroupBy(t, ["lang", "token"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "token", "cnt"])
 
     partials = ds.map_batches(explode_counts, batch_format="pyarrow")
 
     counts = hash_rollup(
         partials, ["lang", "token"],
-        lambda g: g.groupby(["lang", "token"], sort=False)["cnt"].sum()
-        .reset_index(name="n"))
+        lambda t: pa.TableGroupBy(t, ["lang", "token"])
+        .aggregate([("cnt", "sum")])
+        .rename_columns(["lang", "token", "n"]),
+        batch_format="pyarrow")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["lang", "n", "token"],

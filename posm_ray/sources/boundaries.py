@@ -142,20 +142,15 @@ _BOWTIE = np.array(
 _TINY = np.array([[5.0, 5.0], [6.0, 5.0], [5.0, 5.0]], dtype=np.float64)
 
 
-def raw_boundaries() -> pa.Table:
-    """Pre-extraction boundary features, layer-tagged like the OSM reader
-    output (exposm/reader.py:37-73): columns
-    (layer, osm_id_raw, osm_way_id_raw, name, name_en, admin_level:string,
-    boundary, iso3166, geom_wkb). Deterministic mutations of the clean set::
-
-      - id prefixes expected per M1: multipolygons->R (or W if only way id)
-      - every 7th state/county row loses name_en (M2 coalesce)
-      - country isos arrive lowercase (M3 upper)
-      - appended rows: bowtie (Self-intersection), tiny ring (Too few
-        points), unparseable WKB (BONKERS!), maritime + historic tag rows,
-        a way-only multipolygon, a row with no id at all, and decoy rows at
-        admin_level '7' (dropped by the M6 mapping predicate)
-    """
+def _raw_rows() -> list[dict]:
+    """The raw-fixture row list shared by :func:`raw_boundaries` (Arrow
+    table) and :func:`raw_values_sql` (oracle VALUES). Reject rows carry
+    three FIXTURE-DESIGN constants — ``reason`` (the validity outcome the
+    injected defect was constructed to produce), and ``plon``/``plat`` (the
+    parse_reason coordinates of that reason string). These are part of the
+    fixture's contract, not outputs of the kernel: the bowtie's diagonals
+    cross at (1,1) by construction, the tiny ring starts at (5,5), the
+    garbage WKB is BONKERS. Valid rows carry ``bbox``."""
     rows = []
     for r in iter_clean():
         level = r["adminlevel"]
@@ -175,53 +170,149 @@ def raw_boundaries() -> pa.Table:
         rows.append(dict(layer="multipolygons", osm_id_raw=r["osm_id"][1:],
                          osm_way_id_raw=None, name=r["name"], name_en=name_en,
                          admin_level=admin_level, boundary="administrative",
-                         iso3166=iso,
+                         iso3166=iso, bbox=r["bbox"], reason=None,
                          geom_wkb=wkb.rings_to_wkb([_rect(*r["bbox"])])))
     # --- reject / edge rows (deterministic) ---
     rows.append(dict(layer="multipolygons", osm_id_raw="90001", osm_way_id_raw=None,
                      name="Bowtie Land", name_en="Bowtie", admin_level="2",
                      boundary="administrative", iso3166="XX",
+                     bbox=None, reason="Self-intersection[1 1]",
+                     plon=1.0, plat=1.0,
                      geom_wkb=wkb.rings_to_wkb([_BOWTIE])))
     rows.append(dict(layer="multipolygons", osm_id_raw="90002", osm_way_id_raw=None,
                      name="Tiny Land", name_en="Tiny", admin_level="2",
                      boundary="administrative", iso3166="XY",
+                     bbox=None, reason="Too few points[5 5]",
+                     plon=-1000.0, plat=-1000.0,  # unparsed grammar branch
                      geom_wkb=wkb.rings_to_wkb([_TINY])))
     rows.append(dict(layer="multipolygons", osm_id_raw="90003", osm_way_id_raw=None,
                      name="Bonkers Land", name_en="Bonkers", admin_level="2",
                      boundary="administrative", iso3166="XZ",
+                     bbox=None, reason="BONKERS!", plon=0.0, plat=0.0,
                      geom_wkb=b"\x01\x99\x00\x00\x00garbage"))
     rows.append(dict(layer="multipolygons", osm_id_raw="90004", osm_way_id_raw=None,
                      name="Maritime Zone", name_en="Maritime", admin_level="2",
                      boundary="maritime", iso3166="XM",
+                     bbox=(130.00005, 10.00005, 140.00005, 20.00005), reason=None,
                      geom_wkb=wkb.rings_to_wkb([_rect(130.00005, 10.00005, 140.00005, 20.00005)])))
     rows.append(dict(layer="multipolygons", osm_id_raw="90005", osm_way_id_raw=None,
                      name="Old Empire", name_en="Historic", admin_level="2",
                      boundary="historic", iso3166="XH",
+                     bbox=(140.00005, 10.00005, 150.00005, 20.00005), reason=None,
                      geom_wkb=wkb.rings_to_wkb([_rect(140.00005, 10.00005, 150.00005, 20.00005)])))
     rows.append(dict(layer="multipolygons", osm_id_raw=None, osm_way_id_raw="90006",
                      name="Wayland", name_en="Wayland", admin_level="2",
                      boundary="administrative", iso3166="XW",
+                     bbox=(150.00005, 10.00005, 160.00005, 20.00005), reason=None,
                      geom_wkb=wkb.rings_to_wkb([_rect(150.00005, 10.00005, 160.00005, 20.00005)])))
     rows.append(dict(layer="multipolygons", osm_id_raw=None, osm_way_id_raw=None,
                      name="Nowhere", name_en="Nowhere", admin_level="2",
                      boundary="administrative", iso3166="XN",
+                     bbox=(160.00005, 10.00005, 170.00005, 20.00005), reason=None,
                      geom_wkb=wkb.rings_to_wkb([_rect(160.00005, 10.00005, 170.00005, 20.00005)])))
     # decoys inside country 1 at a level no mapping selects
     rows.append(dict(layer="multipolygons", osm_id_raw="90007", osm_way_id_raw=None,
                      name="Decoy District", name_en="Decoy", admin_level="7",
                      boundary="administrative", iso3166=None,
+                     bbox=(-169.0 + OFF, -69.0 + OFF, -168.0 + OFF, -68.0 + OFF),
+                     reason=None,
                      geom_wkb=wkb.rings_to_wkb([_rect(-169.0 + OFF, -69.0 + OFF, -168.0 + OFF, -68.0 + OFF)])))
     # a nameless feature (M2: skipped with diagnostic)
     rows.append(dict(layer="multipolygons", osm_id_raw="90008", osm_way_id_raw=None,
                      name=None, name_en=None, admin_level="2",
                      boundary="administrative", iso3166=None,
+                     bbox=(-179.0 + OFF, 70.0 + OFF, -178.0 + OFF, 71.0 + OFF),
+                     reason=None,
                      geom_wkb=wkb.rings_to_wkb([_rect(-179.0 + OFF, 70.0 + OFF, -178.0 + OFF, 71.0 + OFF)])))
+    return rows
+
+
+def raw_boundaries() -> pa.Table:
+    """Pre-extraction boundary features, layer-tagged like the OSM reader
+    output (exposm/reader.py:37-73): columns
+    (layer, osm_id_raw, osm_way_id_raw, name, name_en, admin_level:string,
+    boundary, iso3166, geom_wkb). Deterministic mutations of the clean set::
+
+      - id prefixes expected per M1: multipolygons->R (or W if only way id)
+      - every 7th state/county row loses name_en (M2 coalesce)
+      - country isos arrive lowercase (M3 upper)
+      - appended rows: bowtie (Self-intersection), tiny ring (Too few
+        points), unparseable WKB (BONKERS!), maritime + historic tag rows,
+        a way-only multipolygon, a row with no id at all, and decoy rows at
+        admin_level '7' (dropped by the M6 mapping predicate)
+    """
+    rows = _raw_rows()
     cols = ["layer", "osm_id_raw", "osm_way_id_raw", "name", "name_en",
             "admin_level", "boundary", "iso3166", "geom_wkb"]
     arrays = {c: pa.array([r[c] for r in rows],
                           pa.binary() if c == "geom_wkb" else pa.string())
               for c in cols}
     return pa.table(arrays)
+
+
+def _sqlq(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def raw_values_sql() -> str:
+    """DuckDB VALUES clause for the raw fixture's non-geometric attributes:
+    (layer, osm_id_raw, osm_way_id_raw, name, name_en, admin_level,
+    boundary, iso3166, reason, plon, plat, cx, cy, minx, miny, maxx, maxy).
+    ``reason``/``plon``/``plat`` are the fixture-design validity outcomes
+    (see _raw_rows); ``cx``/``cy`` the bbox center (the representative
+    point of an axis-aligned rectangle — NULL for invalid geometries)."""
+    vals = []
+    for r in _raw_rows():
+        bbox = r["bbox"] if r["bbox"] is not None else (None,) * 4
+        if r["bbox"] is not None:
+            cx = (r["bbox"][0] + r["bbox"][2]) / 2.0
+            cy = (r["bbox"][1] + r["bbox"][3]) / 2.0
+        else:
+            cx = cy = None
+        vals.append("({})".format(", ".join(_sqlq(v) for v in (
+            r["layer"], r["osm_id_raw"], r["osm_way_id_raw"], r["name"],
+            r["name_en"], r["admin_level"], r["boundary"], r["iso3166"],
+            r["reason"], r.get("plon"), r.get("plat"), cx, cy, *bbox))))
+    return ", ".join(vals)
+
+
+_RAW_NORM_SQL = """
+  SELECT *,
+    CASE layer
+      WHEN 'points' THEN 'N' || osm_id_raw
+      WHEN 'lines' THEN 'W' || osm_id_raw
+      WHEN 'multipolygons' THEN
+        CASE WHEN osm_id_raw IS NOT NULL AND osm_way_id_raw IS NULL
+               THEN 'R' || osm_id_raw
+             WHEN osm_way_id_raw IS NOT NULL AND osm_id_raw IS NULL
+               THEN 'W' || osm_way_id_raw END
+      WHEN 'multilinestrings' THEN 'R' || osm_id_raw
+      WHEN 'other_relations' THEN 'R' || osm_id_raw END AS prep_id,
+    COALESCE(name_en, name) AS nm_en,
+    UPPER(iso3166) AS iso_u
+  FROM (SELECT * FROM (VALUES {values}) AS t(
+    layer, osm_id_raw, osm_way_id_raw, name, name_en, admin_level,
+    boundary, iso3166, reason, plon, plat, cx, cy, minx, miny, maxx, maxy))
+"""
+
+
+def raw_norm_sql() -> str:
+    """The normalize stage (M1-M3) as SQL over the inlined raw fixture."""
+    return _RAW_NORM_SQL.format(values=raw_values_sql())
+
+
+def mapping_case_sql(level: int, country_expr: str) -> str:
+    """The per-country admin-level mapping (M6, admin_mapping.yaml
+    analogue) as a SQL CASE over the containing-country id."""
+    key = f"admin_level_{level}"
+    whens = " ".join(
+        f"WHEN {country_expr} = '{c}' THEN '{m[key]}'"
+        for c, m in sorted(ADMIN_MAPPING_OVERRIDES.items()) if key in m)
+    return f"CASE {whens} ELSE '{ADMIN_MAPPING_DEFAULT[key]}' END"
 
 
 # ---------------------------------------------------------------------------

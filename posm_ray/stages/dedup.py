@@ -41,38 +41,43 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     hashed = add_content_hash(ds, text_col)
     # pre-reduce per block (combiner): one (hash, min-id) row per distinct
-    # hash per block before the exchange
+    # hash per block before the exchange — Arrow-native groupby throughout
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["content_hash", id_col]).to_pandas() \
-            .groupby("content_hash", sort=False)[id_col].min() \
-            .reset_index(name="keep_id")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(batch.select(["content_hash", id_col]),
+                            ["content_hash"]).aggregate([(id_col, "min")])
+        return g.rename_columns(["content_hash", "keep_id"])
 
     pairs = hashed.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("content_hash", sort=False)["keep_id"].min() \
-            .reset_index(name="keep_id")
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["content_hash"]).aggregate(
+            [("keep_id", "min")])
+        return g.rename_columns(["content_hash", "keep_id"])
 
-    return hash_rollup(pairs, ["content_hash"], merge)
+    return hash_rollup(pairs, ["content_hash"], merge,
+                       batch_format="pyarrow")
 
 
-def dedup_exact_rows(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Full surviving rows: winners joined back as a broadcast keep-set
-    (semi-join via broadcast id set — the M7/X4 anti-join pattern inverted)."""
-    import ray
+def dedup_exact_rows(ds, id_col: str = "doc_id", text_col: str = "text",
+                     *, npartitions: int = 16):
+    """Full surviving rows (min-id winner per distinct text): ONE hash
+    exchange of the rows on content_hash, then a vectorized per-partition
+    keep of ``id == min(id) per hash``. No driver keep-set, no per-row
+    ``iter_rows`` (the old version collected a corpus-cardinality id set on
+    the driver). The content hash is dropped from the output.
 
-    winners = dedup_exact(ds, id_col, text_col)
-    keep = set(r["keep_id"] for r in winners.iter_rows())
-    keep_ref = ray.put(keep)
+    DuckDB twin: QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))."""
+    from ..util import hash_rollup
 
-    def keep_only(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keep_ref) if not isinstance(keep_ref, set) else keep_ref
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = pa.array([int(i) in ks for i in ids])
-        return batch.filter(mask)
+    hashed = add_content_hash(ds, text_col)
 
-    return ds.map_batches(keep_only, batch_format="pyarrow")
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        winners = g.groupby("content_hash", sort=False)[id_col] \
+            .transform("min")
+        return g[g[id_col] == winners].drop(columns=["content_hash"])
+
+    return hash_rollup(hashed, ["content_hash"], keep_min,
+                       npartitions=npartitions)
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +180,259 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, threshold: float = 0.5,
     return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def verify_jaccard_pairs_distributed(pairs_ds, docs_ds, *,
+                                     threshold: float = 0.5, ngram: int = 5,
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     npartitions: int = 16):
+    """Distributed exact n-gram Jaccard over candidate pairs — NOTHING
+    materializes on the driver (the old ``verify_jaccard_pairs`` collected
+    all candidate pairs + texts into a driver dict; at corpus scale neither
+    fits). Three hash exchanges, all on pre-reduced/needed-only rows:
+
+    1. candidate ids (exploded from pairs, deduped per block) co-partition
+       with the docs stream on doc_id — a tagged-union semi-join that keeps
+       only candidate texts;
+    2. pairs keyed on ``a`` co-partition with those texts → attach text_a;
+    3. re-key on ``b`` → attach text_b, compute Jaccard per partition with
+       a per-partition gram cache (each doc's gram set built once per
+       partition, not once per pair).
+
+    Returns a Dataset (a, b, jaccard >= threshold). The tagged-union
+    co-partition is the engine's two-sided-join primitive: both sides get a
+    ``side`` tag and a common schema, ONE hash exchange co-locates them,
+    and a vectorized merge per partition replaces a driver-side join."""
+    from ..util import hash_rollup
+
+    def explode_ids(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b.column("a").to_numpy(zero_copy_only=False),
+            b.column("b").to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    needed = pairs_ds.map_batches(explode_ids, batch_format="pyarrow")
+
+    # --- exchange 1: semi-join docs ⋉ needed ids (tagged union) ---
+    def tag_ids(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b[id_col],
+            "text": b[text_col],
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    tagged = needed.map_batches(tag_ids, batch_format="pyarrow").union(
+        docs_ds.map_batches(tag_docs, batch_format="pyarrow"))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        want = set(g.loc[g["side"] == 0, "doc_id"])
+        out = g[(g["side"] == 1) & g["doc_id"].isin(want)]
+        return out[["doc_id", "text"]].drop_duplicates(subset=["doc_id"])
+
+    # materialize: (a) texts feed BOTH later exchanges — without a barrier
+    # the semi-join would recompute per consumer; (b) chaining 3+ hash
+    # shuffle operators in one streaming graph deadlocks small sessions
+    # (aggregator CPU reservations). The candidate-text set is bounded by
+    # the LSH bucket volume, and it stays in the OBJECT STORE (distributed)
+    # — never on the driver.
+    texts = hash_rollup(tagged, ["doc_id"], semi,
+                        npartitions=npartitions).materialize()
+
+    # --- exchange 2: attach text_a (pairs keyed on a ∪ texts on doc_id) ---
+    def pair_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["a"],
+            "b": b["b"],
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def text_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["doc_id"],
+            "b": pa.nulls(b.num_rows, pa.int64()),
+            "text": b["text"],
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    t2 = pairs_ds.map_batches(pair_side, batch_format="pyarrow").union(
+        texts.map_batches(text_side, batch_format="pyarrow"))
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        tmap = dict(zip(g.loc[g["side"] == 1, "key"],
+                        g.loc[g["side"] == 1, "text"]))
+        p = g[g["side"] == 0]
+        return pd.DataFrame({
+            "a": p["key"].astype(np.int64),
+            "b": p["b"].astype(np.int64),
+            "text_a": p["key"].map(tmap),
+        })
+
+    with_a = hash_rollup(t2, ["key"], attach_a,
+                         npartitions=npartitions).materialize()
+
+    # --- exchange 3: attach text_b + per-partition Jaccard ---
+    def pair_side_b(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["b"],
+            "a": b["a"],
+            "text_a": b["text_a"],
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def text_side_b(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["doc_id"],
+            "a": pa.nulls(b.num_rows, pa.int64()),
+            "text_a": pa.nulls(b.num_rows, pa.string()),
+            "text": b["text"],
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    t3 = with_a.map_batches(pair_side_b, batch_format="pyarrow").union(
+        texts.map_batches(text_side_b, batch_format="pyarrow"))
+
+    def jaccard_part(g: pd.DataFrame) -> pd.DataFrame:
+        tmap = dict(zip(g.loc[g["side"] == 1, "key"],
+                        g.loc[g["side"] == 1, "text"]))
+        p = g[g["side"] == 0]
+        grams: dict[int, set] = {}
+
+        def gset(doc_id: int, text) -> set:
+            got = grams.get(doc_id)
+            if got is None:
+                got = hashing.char_ngrams(text, ngram) \
+                    if isinstance(text, str) else set()
+                grams[doc_id] = got
+            return got
+
+        sims = [hashing.jaccard(gset(int(a), ta),
+                                gset(int(bb), tmap.get(bb)))
+                for a, bb, ta in zip(p["a"], p["key"], p["text_a"])]
+        out = pd.DataFrame({"a": p["a"].astype(np.int64),
+                            "b": p["key"].astype(np.int64),
+                            "jaccard": pd.Series(sims, dtype=np.float64,
+                                                 index=p.index)})
+        return out[out["jaccard"] >= threshold]
+
+    return hash_rollup(t3, ["key"], jaccard_part, npartitions=npartitions)
+
+
+def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
+                                  npartitions: int = 16):
+    """Distributed connected components over verified pairs: iterative
+    min-label propagation (label(x) ← min(label(x), min label of x's
+    neighbors)) to a fixpoint. Labels only ever decrease, so the global
+    label sum strictly decreases while anything changes — the convergence
+    test is one tiny aggregate per round, no driver set.
+
+    Returns a Dataset (doc_id, cluster_rep) for every non-representative
+    member — exactly the driver union-find's output (pytest-pinned equal).
+    Rounds needed = component diameter (near-dup chains are short); the
+    per-round cost is ONE hash exchange over (node, label) pairs."""
+    from ..util import hash_rollup
+
+    def und_edges(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "y": pa.array(np.concatenate([bb, a]), pa.int64()),
+        })
+
+    edges = pairs_ds.map_batches(und_edges, batch_format="pyarrow") \
+        .materialize()
+
+    # labels: start at min neighbor (one propagation step for free)
+    def init_label(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("x", sort=False)["y"].min().reset_index(name="label")
+        m["label"] = np.minimum(m["label"], m["x"])
+        return m
+
+    labels = hash_rollup(edges, ["x"], init_label,
+                         npartitions=npartitions).materialize()
+    prev_sum = labels.sum("label")
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b["y"], "x": b["x"],
+                         "label": pa.nulls(b.num_rows, pa.int64()),
+                         "side": pa.array(np.zeros(b.num_rows, dtype=np.int8))})
+
+    def label_side(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b["x"], "x": b["x"], "label": b["label"],
+                         "side": pa.array(np.ones(b.num_rows, dtype=np.int8))})
+
+    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+        lmap = dict(zip(g.loc[g["side"] == 1, "key"],
+                        g.loc[g["side"] == 1, "label"]))
+        e = g[g["side"] == 0]
+        # candidate labels for x: its own label (key==x rows on side 1
+        # handled via the union below) + neighbors' labels
+        cand = pd.DataFrame({"x": e["x"],
+                             "label": e["key"].map(lmap)})
+        own = g.loc[g["side"] == 1, ["key", "label"]].rename(
+            columns={"key": "x"})
+        allc = pd.concat([cand.dropna(), own], ignore_index=True)
+        out = allc.groupby("x", sort=False)["label"].min() \
+            .reset_index(name="label")
+        out["x"] = out["x"].astype(np.int64)
+        out["label"] = out["label"].astype(np.int64)
+        return out
+
+    # pointer-doubling shortcut: label[x] <- label[label[x]] (labels only
+    # decrease, so this jumps toward the component root) — with the
+    # neighbor step it converges in O(log diameter) rounds, not O(diameter)
+    def by_label_side(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b["label"], "x": b["x"],
+                         "label": pa.nulls(b.num_rows, pa.int64()),
+                         "side": pa.array(np.zeros(b.num_rows, dtype=np.int8))})
+
+    def shortcut(g: pd.DataFrame) -> pd.DataFrame:
+        lmap = dict(zip(g.loc[g["side"] == 1, "key"],
+                        g.loc[g["side"] == 1, "label"]))
+        e = g[g["side"] == 0]
+        lab = e["key"].map(lmap).fillna(e["key"])
+        return pd.DataFrame({"x": e["x"].astype(np.int64),
+                             "label": lab.astype(np.int64)})
+
+    for _ in range(max_rounds):
+        tagged = edges.map_batches(edge_side, batch_format="pyarrow").union(
+            labels.map_batches(label_side, batch_format="pyarrow"))
+        # exchange on key co-locates each node's label with the edges that
+        # READ it; the groupby inside then min-merges per target x. A second
+        # tiny exchange on x merges across partitions.
+        prop = hash_rollup(tagged, ["key"], relabel, npartitions=npartitions)
+        labels = hash_rollup(
+            prop, ["x"],
+            lambda g: g.groupby("x", sort=False)["label"].min()
+            .reset_index(name="label"),
+            npartitions=npartitions).materialize()
+        t_sc = labels.map_batches(by_label_side, batch_format="pyarrow") \
+            .union(labels.map_batches(label_side, batch_format="pyarrow"))
+        labels = hash_rollup(t_sc, ["key"], shortcut,
+                             npartitions=npartitions).materialize()
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def members(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        keep = lab != x
+        return pa.table({"doc_id": pa.array(x[keep], pa.int64()),
+                         "cluster_rep": pa.array(lab[keep], pa.int64())})
+
+    return labels.map_batches(members, batch_format="pyarrow")
+
+
 def near_dup_clusters(verified_pairs: pd.DataFrame) -> dict[int, int]:
     """Union-find over verified pairs (driver side — candidate set is small
     by construction); returns id -> cluster representative (min id)."""
@@ -219,19 +477,34 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow")
 
     def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, rows_h = [], [], []
+        """Vectorized hamming verify: per bucket, pairwise XOR over the
+        uint64 signature array + byte-table popcount — no python pair loop
+        (a hot prefix bucket stays O(bucket^2) *numpy* work, not python)."""
+        out_a, out_b, out_h = [], [], []
         for _, g in part.groupby("bucket", sort=False):
-            recs = sorted(zip(g["doc_id"], g["simhash"].to_numpy().view(np.uint64)))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    h = hashing.hamming64(int(recs[i][1]), int(recs[j][1]))
-                    if h <= max_hamming:
-                        rows_a.append(recs[i][0])
-                        rows_b.append(recs[j][0])
-                        rows_h.append(h)
-        return pd.DataFrame({"a": pd.Series(rows_a, dtype=np.int64),
-                             "b": pd.Series(rows_b, dtype=np.int64),
-                             "hamming": pd.Series(rows_h, dtype=np.int64)})
+            order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+            ids = g["doc_id"].to_numpy()[order]
+            sig = g["simhash"].to_numpy().view(np.uint64)[order]
+            m = len(ids)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            x = sig[ai] ^ sig[bi]
+            # popcount via unpackbits over the raw bytes (numpy<2 has no
+            # bitwise_count)
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
+            hit = ham <= max_hamming
+            out_a.append(ids[ai[hit]])
+            out_b.append(ids[bi[hit]])
+            out_h.append(ham[hit])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
     from ..util import hash_rollup
 

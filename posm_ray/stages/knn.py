@@ -46,11 +46,17 @@ class _PartialTopK:
         clat = batch.column("lat").to_numpy(zero_copy_only=False)
         clon = batch.column("lon").to_numpy(zero_copy_only=False)
         out_q, out_n, out_d = [], [], []
-        # vectorized per query over the whole batch (Q small, batch large)
+        # vectorized per query over the whole batch (Q small, batch large).
+        # NOTE: tie handling must be deterministic IN THE PARTIAL — with
+        # many equidistant candidates (e.g. duplicated mega-cell points)
+        # argpartition would keep an arbitrary subset and drop tied
+        # candidates the final merge should have ranked; lexsort keeps the
+        # kk smallest under the same (dist, neighbor_id) order the merge
+        # uses.
         for i in range(len(self.qid)):
             d = haversine_m(self.qlat[i], self.qlon[i], clat, clon)
             kk = min(self.k, len(d))
-            idx = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+            idx = np.lexsort((cid, d))[:kk]
             out_q.append(np.full(kk, self.qid[i], dtype=np.int64))
             out_n.append(cid[idx])
             out_d.append(d[idx])
@@ -111,25 +117,38 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
     partitioning assumption (SURVEY.md J7)."""
 
     def to_shards(batch: pa.Table) -> pa.Table:
+        """Vectorized 3x3 halo explode: all 9 offsets computed batch-wise
+        (wrap in longitude, clamp at poles), then per-point dedup of the
+        clamp-collapsed shards — no per-row python."""
         pid = batch.column(id_col).to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         home = cells.cell_id(lat, lon, shard_res)
-        rows_id, rows_lat, rows_lon, rows_shard, rows_home = [], [], [], [], []
-        for i in range(len(pid)):
-            halo = cells.neighbors(np.array([home[i]]))
-            for s in halo:
-                rows_id.append(pid[i])
-                rows_lat.append(lat[i])
-                rows_lon.append(lon[i])
-                rows_shard.append(int(s))
-                rows_home.append(int(home[i]))
+        nx, ny = cells.ncols(shard_res), cells.nrows(shard_res)
+        ix, iy = cells.cell_ixy(home)
+        n = len(pid)
+        shards = np.empty((9, n), dtype=np.int64)
+        for off, (dx, dy) in enumerate(
+                (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)):
+            jx = (ix + dx) % nx
+            jy = np.minimum(np.maximum(iy + dy, 0), ny - 1)
+            shards[off] = cells.pack(shard_res, jx, jy)
+        row = np.tile(np.arange(n, dtype=np.int64), 9)
+        flat = shards.ravel()
+        # dedupe (point, shard) pairs collapsed by the pole clamp: sort
+        # row-major then drop adjacent repeats (per-row sorted-unique, the
+        # same order the old per-row np.unique emitted)
+        order = np.lexsort((flat, row))
+        row, flat = row[order], flat[order]
+        keep = np.ones(len(row), dtype=bool)
+        keep[1:] = (row[1:] != row[:-1]) | (flat[1:] != flat[:-1])
+        row, flat = row[keep], flat[keep]
         return pa.table({
-            id_col: pa.array(rows_id, pa.int64()),
-            "lat": pa.array(rows_lat, pa.float64()),
-            "lon": pa.array(rows_lon, pa.float64()),
-            "shard": pa.array(rows_shard, pa.int64()),
-            "home": pa.array(rows_home, pa.int64()),
+            id_col: pa.array(pid[row], pa.int64()),
+            "lat": pa.array(lat[row], pa.float64()),
+            "lon": pa.array(lon[row], pa.float64()),
+            "shard": pa.array(flat, pa.int64()),
+            "home": pa.array(home[row], pa.int64()),
         })
 
     sharded = candidates.map_batches(to_shards, batch_format="pyarrow")
@@ -204,7 +223,10 @@ class _CosinePartialTopK:
         for i in range(len(self.qid)):
             s = sims[i]
             kk = min(self.k, len(s))
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            # deterministic under cosine ties (exact-duplicate vectors):
+            # keep the kk best by (cosine desc, neighbor_id asc), matching
+            # the final merge's order — argpartition drops tied candidates
+            idx = np.lexsort((vid, -s))[:kk]
             out_q.append(np.full(kk, self.qid[i], dtype=np.int64))
             out_n.append(vid[idx])
             out_s.append(s[idx])
@@ -294,7 +316,7 @@ def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
         for qi, rows in cand.items():
             s = qmatn[qi] @ embn[rows].T
             kk = min(c["k"] + 1, len(s))
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            idx = np.lexsort((vid[rows], -s))[:kk]  # tie-deterministic
             out_q.append(np.full(len(idx), c["qid"][qi], dtype=np.int64))
             out_n.append(vid[rows][idx])
             out_s.append(s[idx])
@@ -377,7 +399,7 @@ def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
                 continue
             s = c["qn"][qi] @ embn[mask].T
             kk = min(c["k"] + 1, len(s))
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            idx = np.lexsort((vid[mask], -s))[:kk]  # tie-deterministic
             out_q.append(np.full(len(idx), c["qid"][qi], dtype=np.int64))
             out_n.append(vid[mask][idx])
             out_s.append(s[idx])

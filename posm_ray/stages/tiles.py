@@ -30,26 +30,23 @@ from ..sources import synth
 
 
 def _partial_pair_counts(batch: pa.Table, cell_col: str) -> pa.Table:
-    """(cell, domain) -> row count within this batch (combiner step)."""
-    cell = batch.column(cell_col).to_numpy(zero_copy_only=False)
+    """(cell, domain) -> row count within this batch (combiner step).
+    Arrow-native groupby: no Arrow->pandas->Arrow round-trip per block."""
+    cell = batch.column(cell_col)
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    domain = doc_id % synth.N_DOMAINS
-    df = pd.DataFrame({"cell": cell, "domain": domain})
-    g = df.groupby(["cell", "domain"], sort=False).size().reset_index(name="cnt")
-    return pa.table(
-        {
-            "cell": pa.array(g["cell"].to_numpy(), pa.int64()),
-            "domain": pa.array(g["domain"].to_numpy(), pa.int64()),
-            "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
-        }
-    )
+    domain = pa.array(doc_id % synth.N_DOMAINS, pa.int64())
+    t = pa.table({"cell": cell, "domain": domain})
+    g = pa.TableGroupBy(t, ["cell", "domain"]).aggregate([([], "count_all")])
+    return g.rename_columns(["cell", "domain", "cnt"])
 
 
 def tile_rollup(join_rows, cell_col: str = "cell_r7"):
     """join rows -> tiles (cell, doc_count, distinct_domains).
 
     partial per batch -> groupby(cell, domain) [salted shuffle] -> partial
-    per batch -> groupby(cell) [tiny shuffle].
+    per batch -> groupby(cell) [tiny shuffle]. Merge is Arrow-native
+    (pyarrow hash aggregation, no pandas conversion tax on the engine's
+    hottest rollup).
     """
     from ..util import hash_rollup
 
@@ -58,17 +55,19 @@ def tile_rollup(join_rows, cell_col: str = "cell_r7"):
     )
 
     # ONE hash exchange on cell (pairs are pre-reduced per block upstream,
-    # so a mega-cell ships counts, not rows), then a vectorized pandas
-    # rollup per partition.
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("cell", sort=False).agg(
-            doc_count=("cnt", "sum"),
-            distinct_domains=("domain", "nunique")).reset_index()
-        out["doc_count"] = out["doc_count"].astype("int64")
-        out["distinct_domains"] = out["distinct_domains"].astype("int64")
-        return out
+    # so a mega-cell ships counts, not rows), then one Arrow hash-agg per
+    # partition.
+    def rollup(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["cell"]).aggregate(
+            [("cnt", "sum"), ("domain", "count_distinct")])
+        return pa.table({
+            "cell": g["cell"],
+            "doc_count": g["cnt_sum"],
+            "distinct_domains": pa.compute.cast(
+                g["domain_count_distinct"], pa.int64()),
+        })
 
-    return hash_rollup(pairs, ["cell"], rollup)
+    return hash_rollup(pairs, ["cell"], rollup, batch_format="pyarrow")
 
 
 def salted_counts(ds, key_col: str, *, nsalt: int = 64, salt_src: str = "doc_id"):
@@ -140,20 +139,20 @@ def raster_tiles(extracted, base_res: int = 7, pix_res: int = 9):
         ix = (c_pix >> 24) & ((1 << 24) - 1)
         iy = c_pix & ((1 << 24) - 1)
         pixel = ((ix & mask) << span) | (iy & mask)
-        df = pd.DataFrame({"cell": c_base, "pixel_idx": pixel})
-        g = df.groupby(["cell", "pixel_idx"], sort=False).size() \
-            .reset_index(name="cnt")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({"cell": pa.array(c_base, pa.int64()),
+                      "pixel_idx": pa.array(pixel, pa.int64())})
+        g = pa.TableGroupBy(t, ["cell", "pixel_idx"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cell", "pixel_idx", "cnt"])
 
     pairs = extracted.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["cell", "pixel_idx"], sort=False)["cnt"].sum() \
-            .reset_index(name="doc_count")
-        out["doc_count"] = out["doc_count"].astype("int64")
-        return out
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["cell", "pixel_idx"]).aggregate(
+            [("cnt", "sum")])
+        return g.rename_columns(["cell", "pixel_idx", "doc_count"])
 
-    return hash_rollup(pairs, ["cell"], merge)
+    return hash_rollup(pairs, ["cell"], merge, batch_format="pyarrow")
 
 
 HLL_BITS = 6  # 64 registers, ~13% standard error — mergeable sketch

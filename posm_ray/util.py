@@ -11,7 +11,11 @@ def hash_rollup(ds, keys: list[str], merge_fn, *, npartitions: int = 16,
     group — seconds at 10k+ groups) and chained sort-aggregates.
     ``npartitions`` is the scale knob: size it ~ cluster cores; skewed keys
     spread by the hash, and a single mega-key still bounds at one
-    partition's rows — pre-reduce per block upstream before calling this."""
+    partition's rows — pre-reduce per block upstream before calling this.
+
+    ``batch_format="pyarrow"`` + an Arrow-native ``merge_fn``
+    (pa.TableGroupBy) skips the Arrow->pandas->Arrow conversion tax; the
+    hot rollups (tiles, raster, dedup_exact, top_tokens counts) use it."""
     return ds.repartition(npartitions, keys=keys).map_batches(
         merge_fn, batch_format=batch_format, batch_size=None)
 

@@ -1,0 +1,127 @@
+"""Distributed dedup tail (round-2): hash-partitioned Jaccard verify,
+label-propagation clustering, hash-partitioned exact-dedup rows — each
+pinned equal to its driver-side / SQL oracle on the sf0.001 fixture."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+class TestDistributedVerify:
+    def test_equals_driver_verify(self, ray_session):
+        """verify_jaccard_pairs_distributed must produce the exact same
+        (a, b, jaccard) set as the driver-side reference implementation."""
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        docs = textops.noisy_documents(SF)
+        pairs = dedup.minhash_candidate_pairs(docs).materialize()
+        want = dedup.verify_jaccard_pairs(
+            pairs, textops.noisy_documents(SF), threshold=0.35)
+        got = dedup.verify_jaccard_pairs_distributed(
+            pairs, textops.noisy_documents(SF), threshold=0.35).to_pandas()
+        g = got.sort_values(["a", "b"]).reset_index(drop=True)
+        w = want.sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(g) == len(w) > 0
+        assert (g["a"].to_numpy() == w["a"].to_numpy()).all()
+        assert (g["b"].to_numpy() == w["b"].to_numpy()).all()
+        # same gram sets, same integer division -> bitwise-equal doubles
+        assert (g["jaccard"].to_numpy() == w["jaccard"].to_numpy()).all()
+
+
+class TestDistributedClusters:
+    def test_equals_driver_union_find(self, ray_session):
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        verified_ds = textops.minhash_verified_pairs(SF).materialize()
+        got = dedup.near_dup_clusters_distributed(verified_ds).to_pandas()
+        want = dedup.near_dup_clusters(verified_ds.to_pandas())
+        got_map = dict(zip(got["doc_id"], got["cluster_rep"]))
+        assert len(got_map) == len(got)  # no duplicate nodes
+        assert got_map == {int(k): int(v) for k, v in want.items()}
+        assert len(got_map) > 0
+
+    def test_chain_converges(self, ray_session):
+        """A long chain (diameter > 1) collapses to the min id."""
+        import ray.data as rd
+
+        from posm_ray.stages import dedup
+
+        chain = pa.table({
+            "a": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9], pa.int64()),
+            "b": pa.array([2, 3, 4, 5, 6, 7, 8, 9, 10], pa.int64()),
+        })
+        out = dedup.near_dup_clusters_distributed(
+            rd.from_arrow(chain)).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(2, 11))
+        assert (out["cluster_rep"] == 1).all()
+
+
+class TestDedupExactRows:
+    def test_matches_qualify_oracle(self, ray_session):
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        got = dedup.dedup_exact_rows(
+            textops.noisy_documents(SF)).to_pandas()
+        want = _con().execute(textops.DEDUP_EXACT_ROWS_SQL).df()
+        g = got.sort_values("doc_id").reset_index(drop=True)
+        w = want.sort_values("doc_id").reset_index(drop=True)
+        assert len(g) == len(w) > 0
+        assert (g["doc_id"].to_numpy() == w["doc_id"].to_numpy()).all()
+        assert (g["text"].to_numpy() == w["text"].to_numpy()).all()
+
+    def test_exact_dup_injections_removed(self, ray_session):
+        """Every injected exact copy (doc_id+1M) loses to its original."""
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        got = dedup.dedup_exact_rows(
+            textops.noisy_documents(SF)).to_pandas()
+        ids = set(got["doc_id"])
+        base = [i for i in ids if i < 1_000_000
+                and i % textops.EXACT_DUP_MOD == 0]
+        assert len(base) > 0
+        for i in base:
+            assert i + 1_000_000 not in ids
+
+
+class TestCoveringAntimeridian:
+    def test_wrapped_bbox_splits(self):
+        from posm_ray import cells
+
+        # Fiji-like bbox: 177E .. 178W
+        cover = cells.covering(177.0, -19.0, -178.0, -16.0, 4)
+        assert len(cover) > 0
+        lons_w = cells.covering(177.0, -19.0, 180.0, -16.0, 4)
+        lons_e = cells.covering(-180.0, -19.0, -178.0, -16.0, 4)
+        assert set(int(c) for c in cover) == (
+            set(int(c) for c in lons_w) | set(int(c) for c in lons_e))
+        # both sides of the antimeridian are registered
+        c_west = cells.cell_id(np.array([-17.0]), np.array([178.0]), 4)[0]
+        c_east = cells.cell_id(np.array([-17.0]), np.array([-179.0]), 4)[0]
+        ids = set(int(c) for c in cover)
+        assert int(c_west) in ids and int(c_east) in ids
+
+
+class TestPrepareOsmIdBothSet:
+    def test_both_ids_discarded(self):
+        """Reference exposm/utils.py:26-27 else-branch: a multipolygons row
+        with BOTH osm_id and osm_way_id set is discarded (None)."""
+        from posm_ray.functions import ids
+
+        got = ids.prepare_osm_id(
+            pa.array(["multipolygons", "multipolygons", "multipolygons"]),
+            pa.array(["1", None, "3"]),
+            pa.array(["2", "4", None]))
+        assert got.to_pylist() == [None, "W4", "R3"]

@@ -154,9 +154,16 @@ def test_topojson_tree(levels, all_geom, ray_session, tmp_path):
         fc1 = json.load(f)
     assert fc1["features"][-1]["properties"]["is_boundary"] == 1
     assert fc1["features"][-1]["properties"]["osm_id"] == sd
-    # the CLI conversion itself is stubbed (no node topojson binary)
+    # the CLI path is still documented as unavailable...
     with pytest.raises(NotImplementedError):
         exports.convert_to_topojson(out, require_cli=True)
+    # ...but the pure-python encoder produced real topology.json files
+    with open(os.path.join(out, "R1000", "topology.json")) as f:
+        topo = json.load(f)
+    assert topo["type"] == "Topology"
+    assert len(topo["arcs"]) > 0
+    geoms = topo["objects"]["boundaries"]["geometries"]
+    assert geoms[-1]["id"] == "R1000"
 
 
 def test_poly_format_matches_reference_golden():
