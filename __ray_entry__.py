@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_export": _q_poly_export,
         "resumable_tiles": _q_resumable_tiles,
         "gadm_hierarchy": _q_gadm_hierarchy,
+        "drill_down": _q_drill_down,
         # event-stream custom operators (windowed aggregate / as-of / range)
         "sessionize": _q_sessionize,
         "asof_prior_click": _q_asof,
@@ -732,6 +733,53 @@ WHERE prep_id IS NOT NULL AND nm_en IS NOT NULL AND reason IS NOT NULL
 """
 
 
+DRILL_NODES = ("R1000", "R2300")  # one country, one state (override country)
+
+
+def _q_drill_down(sf_dir: str):
+    """J6 for_osm_id drill-down (django demo models.py:11-39): per-child
+    doc rollup of the flagship join rows under a country node and a state
+    node; the two results concatenate with a query_node column."""
+    import pandas as pd
+
+    from posm_ray.pipelines import boundary, flagship
+
+    b = bsrc.clean_boundaries()
+    parts = []
+    for node in DRILL_NODES:
+        df = boundary.drill_down(
+            flagship.join_rows(sf_dir, slim=True), b, node).to_pandas()
+        df["query_node"] = node
+        parts.append(df)
+    return pd.concat(parts, ignore_index=True)
+
+
+def _drill_down_sql() -> str:
+    unions = []
+    for node in DRILL_NODES:
+        unions.append(f"""
+SELECT '{node}' AS query_node,
+       CASE WHEN b.lvl = 1 THEN j.level1_id ELSE j.level2_id END AS child_id,
+       COUNT(*) AS doc_count
+FROM joined j, (SELECT CASE WHEN EXISTS (SELECT 1 FROM b0x WHERE osm_id = '{node}')
+                            THEN 1 ELSE 2 END AS lvl) b
+WHERE (b.lvl = 1 AND j.level1_id IN
+         (SELECT osm_id FROM b1x WHERE parent_id = '{node}'))
+   OR (b.lvl = 2 AND j.level2_id IN
+         (SELECT osm_id FROM b2x WHERE parent_id = '{node}'))
+GROUP BY 1, 2""")
+    return f"""
+WITH joined AS ({_join_rows_sql()}),
+b0x AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(0)})
+        AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
+b1x AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(1)})
+        AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
+b2x AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(2)})
+        AS t(osm_id, parent_id, minx, miny, maxx, maxy))
+{" UNION ALL ".join(unions)}
+"""
+
+
 def _q_boundary_hierarchy(sf_dir: str):
     """Accepted levels 0-2 of the posm extract lifecycle on the raw fixture
     (extract.py:92-355 semantics; sf_dir unused — boundary fixture input)."""
@@ -883,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": _ann_cosine_sql(),
         "lang_quality": textops.lang_quality_sql(),
         "boundary_hierarchy": _boundary_hierarchy_sql(),
+        "drill_down": _drill_down_sql(),
         "boundary_discards": _boundary_discards_sql(),
         "boundary_problems": _boundary_problems_sql(),
         "raster_tiles": _raster_tiles_sql(),

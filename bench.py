@@ -51,6 +51,31 @@ def _doc_count(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
 
+class _StealMeter:
+    """Hypervisor CPU-steal fraction over the measured window (/proc/stat
+    col 8). This box is a shared VM: steal windows of 30-60% were measured
+    to slow identical runs 2-3x — the meter makes run context auditable."""
+
+    def __init__(self):
+        self.t0 = self._snap()
+
+    @staticmethod
+    def _snap():
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+        except Exception:
+            return None
+
+    def pct(self) -> float | None:
+        t1 = self._snap()
+        if self.t0 is None or t1 is None:
+            return None
+        d = [y - x for x, y in zip(self.t0, t1)]
+        tot = sum(d)
+        return round(100.0 * d[7] / tot, 1) if tot and len(d) > 7 else None
+
+
 def _consume(ds) -> int:
     """Stream the dataset to completion; return row count."""
     n = 0
@@ -99,6 +124,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("events_hourly", lambda: relational.events_hourly(sf_dir))
     timed("token_counts", lambda: textops.token_counts(sf_dir))
     timed("dedup_exact", lambda: textops.dedup_exact_winners(sf_dir))
+    timed("dedup_exact_rows", lambda: textops.dedup_exact_surviving(sf_dir))
+    timed("drill_down", lambda: qs["drill_down"](sf_dir))
     timed("simhash_near_dups", lambda: textops.simhash_near_dups(sf_dir))
     timed("minhash_near_dups", lambda: textops.minhash_near_dups(sf_dir))
     timed("ngram_jaccard", lambda: textops.ngram_jaccard(sf_dir))
@@ -117,7 +144,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
 def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     _init_ray(num_cpus)
+    meter = _StealMeter()
     headline_sec, docs = run_headline(sf_dir)
+    steal = meter.pct()
     result = {
         "metric": "spatial-join+tiling throughput (flagship end-to-end)",
         "value": round(headline_sec, 3),
@@ -127,9 +156,11 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "num_cpus": num_cpus,
         "docs": docs,
         "docs_per_sec": round(docs / headline_sec, 1),
+        "steal_pct_headline": steal,
     }
     if not headline_only:
         result["queries"].update(run_queries(sf_dir))
+        result["steal_pct_total"] = meter.pct()
     import ray
 
     ray.shutdown()

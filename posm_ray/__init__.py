@@ -52,7 +52,10 @@ def _configure_data_context() -> None:
         # Aggregator work is memory-bound concat, not CPU-bound, so reserve
         # a nominal CPU share; the SPREAD strategy still distributes the
         # actors across nodes on a real cluster.
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.001
+        import os
+        _ov = os.environ.get("POSM_AGG_CPU_OVERRIDE", "0.001")
+        if _ov != "off":
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = float(_ov)
     except Exception:  # pragma: no cover - older ray without the enum
         pass
 

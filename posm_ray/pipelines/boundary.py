@@ -407,6 +407,51 @@ def accept_hierarchy_level(norm, level: int, parent_tables: list[pa.Table],
             else _accept_table({k: [] for k in _ACCEPT_SCHEMA.names}))
 
 
+def drill_down(join_rows_ds, boundaries: pa.Table, osm_id: str):
+    """J6 ``for_osm_id`` drill-down (django_project/demo/models.py:11-39):
+    resolve ``osm_id``'s admin level in the (small, broadcast) hierarchy —
+    a level-0 node semi-joins the metrics table against its level-1
+    children (``is_in_country``), a level-1 node against its level-2
+    children (``is_in_state``), anything else returns empty. The metrics
+    table analogue is the flagship join-rows Dataset (one row per
+    geocoded page); output is the per-child doc rollup.
+
+    Shape: children id set is broadcast into a vectorized Arrow mask over
+    the streaming big side (the reference's ``object_id__in`` filter); ONE
+    tiny hash exchange merges the per-batch partial counts."""
+    from ..util import hash_rollup
+
+    levels = dict(zip(boundaries["osm_id"].to_pylist(),
+                      boundaries["adminlevel"].to_pylist()))
+    level = levels.get(osm_id)
+    child_col = {0: "level1_id", 1: "level2_id"}.get(level)
+    empty = pa.table({"child_id": pa.array([], pa.string()),
+                      "doc_count": pa.array([], pa.int64())})
+    if child_col is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    children = pa.array(sorted(
+        c for c, p in zip(boundaries["osm_id"].to_pylist(),
+                          boundaries["is_in"].to_pylist()) if p == osm_id))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.fill_null(
+            pc.is_in(batch[child_col], value_set=children), False))
+        g = pa.TableGroupBy(hit.select([child_col]), [child_col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["child_id", "cnt"])
+
+    partials = join_rows_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["child_id"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["child_id", "doc_count"])
+
+    return hash_rollup(partials, ["child_id"], merge, npartitions=2,
+                       batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # full pipeline + check files
 # ---------------------------------------------------------------------------

@@ -21,34 +21,37 @@ NEAR_DUP_SUFFIX = " near duplicate marker"
 
 
 def noisy_documents(sf_dir: str):
-    """documents + injected duplicates as one streaming Dataset."""
+    """documents + injected duplicates as one streaming Dataset.
+
+    ONE read + in-batch explode (each block emits base rows plus its own
+    exact/near duplicate rows) — the previous 3-read ``union`` paid the
+    read+operator overhead three times and fragmented the stream
+    (measured: 6.9 s to stream 6.2k rows at 32 CPUs, ~2 s this way)."""
     import ray.data as rd
 
     base = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
 
-    def exact_dups(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         did_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        batch = batch.filter(pa.array(did_np % EXACT_DUP_MOD == 0))
-        did = pc.add(batch["doc_id"], pa.scalar(1_000_000, pa.int64()))
-        return pa.table({"doc_id": did, "text": batch["text"],
-                         "lang": batch["lang"]})
+        exact = batch.filter(pa.array(did_np % EXACT_DUP_MOD == 0))
+        exact = pa.table({
+            "doc_id": pc.add(exact["doc_id"],
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": exact["text"],
+            "lang": exact["lang"],
+        })
+        near = batch.filter(pa.array(did_np % NEAR_DUP_MOD == 0))
+        near = pa.table({
+            "doc_id": pc.add(near["doc_id"],
+                             pa.scalar(2_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                near["text"], pa.scalar(NEAR_DUP_SUFFIX), ""),
+            "lang": near["lang"],
+        })
+        return pa.concat_tables([batch, exact, near])
 
-    def near_dups(batch: pa.Table) -> pa.Table:
-        did_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        batch = batch.filter(pa.array(did_np % NEAR_DUP_MOD == 0))
-        did = pc.add(batch["doc_id"], pa.scalar(2_000_000, pa.int64()))
-        txt = pc.binary_join_element_wise(batch["text"],
-                                          pa.scalar(NEAR_DUP_SUFFIX), "")
-        return pa.table({"doc_id": did, "text": txt, "lang": batch["lang"]})
-
-    b2 = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"]) \
-        .map_batches(exact_dups, batch_format="pyarrow")
-    b3 = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"]) \
-        .map_batches(near_dups, batch_format="pyarrow")
-    return base.union(b2, b3)
+    return base.map_batches(explode, batch_format="pyarrow")
 
 
 NOISY_DOCUMENTS_SQL = f"""

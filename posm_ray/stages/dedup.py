@@ -188,15 +188,15 @@ def verify_jaccard_pairs_distributed(pairs_ds, docs_ds, *,
     """Distributed exact n-gram Jaccard over candidate pairs — NOTHING
     materializes on the driver (the old ``verify_jaccard_pairs`` collected
     all candidate pairs + texts into a driver dict; at corpus scale neither
-    fits). Three hash exchanges, all on pre-reduced/needed-only rows:
+    fits). TWO hash exchanges:
 
-    1. candidate ids (exploded from pairs, deduped per block) co-partition
-       with the docs stream on doc_id — a tagged-union semi-join that keeps
-       only candidate texts;
-    2. pairs keyed on ``a`` co-partition with those texts → attach text_a;
-    3. re-key on ``b`` → attach text_b, compute Jaccard per partition with
-       a per-partition gram cache (each doc's gram set built once per
-       partition, not once per pair).
+    1. pairs keyed on ``a`` AND keyed on ``b`` co-partition with the docs
+       stream on doc_id (tagged union) — each pair-half picks up its
+       endpoint's text; docs without candidates are dropped in-partition
+       (the semi-join is implicit, no separate ids pass);
+    2. the two halves re-key on (a, b); one vectorized merge computes the
+       Jaccard with a per-partition gram cache (a doc's gram set is built
+       once per partition, not once per pair).
 
     Returns a Dataset (a, b, jaccard >= threshold). The tagged-union
     co-partition is the engine's two-sided-join primitive: both sides get a
@@ -204,105 +204,45 @@ def verify_jaccard_pairs_distributed(pairs_ds, docs_ds, *,
     and a vectorized merge per partition replaces a driver-side join."""
     from ..util import hash_rollup
 
-    def explode_ids(b: pa.Table) -> pa.Table:
-        ids = np.unique(np.concatenate([
-            b.column("a").to_numpy(zero_copy_only=False),
-            b.column("b").to_numpy(zero_copy_only=False)]))
-        return pa.table({"doc_id": pa.array(ids, pa.int64())})
-
-    needed = pairs_ds.map_batches(explode_ids, batch_format="pyarrow")
-
-    # --- exchange 1: semi-join docs ⋉ needed ids (tagged union) ---
-    def tag_ids(b: pa.Table) -> pa.Table:
+    def halves(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        n = b.num_rows
         return pa.table({
-            "doc_id": b["doc_id"],
-            "text": pa.nulls(b.num_rows, pa.string()),
-            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "key": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+            "text": pa.nulls(2 * n, pa.string()),
+            "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
         })
 
-    def tag_docs(b: pa.Table) -> pa.Table:
+    def doc_side(b: pa.Table) -> pa.Table:
         return pa.table({
-            "doc_id": b[id_col],
+            "key": b[id_col],
+            "a": pa.nulls(b.num_rows, pa.int64()),
+            "b": pa.nulls(b.num_rows, pa.int64()),
             "text": b[text_col],
             "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
         })
 
-    tagged = needed.map_batches(tag_ids, batch_format="pyarrow").union(
-        docs_ds.map_batches(tag_docs, batch_format="pyarrow"))
+    t1 = pairs_ds.map_batches(halves, batch_format="pyarrow").union(
+        docs_ds.map_batches(doc_side, batch_format="pyarrow"))
 
-    def semi(g: pd.DataFrame) -> pd.DataFrame:
-        want = set(g.loc[g["side"] == 0, "doc_id"])
-        out = g[(g["side"] == 1) & g["doc_id"].isin(want)]
-        return out[["doc_id", "text"]].drop_duplicates(subset=["doc_id"])
-
-    # materialize: (a) texts feed BOTH later exchanges — without a barrier
-    # the semi-join would recompute per consumer; (b) chaining 3+ hash
-    # shuffle operators in one streaming graph deadlocks small sessions
-    # (aggregator CPU reservations). The candidate-text set is bounded by
-    # the LSH bucket volume, and it stays in the OBJECT STORE (distributed)
-    # — never on the driver.
-    texts = hash_rollup(tagged, ["doc_id"], semi,
-                        npartitions=npartitions).materialize()
-
-    # --- exchange 2: attach text_a (pairs keyed on a ∪ texts on doc_id) ---
-    def pair_side(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": b["a"],
-            "b": b["b"],
-            "text": pa.nulls(b.num_rows, pa.string()),
-            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-        })
-
-    def text_side(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": b["doc_id"],
-            "b": pa.nulls(b.num_rows, pa.int64()),
-            "text": b["text"],
-            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-        })
-
-    t2 = pairs_ds.map_batches(pair_side, batch_format="pyarrow").union(
-        texts.map_batches(text_side, batch_format="pyarrow"))
-
-    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
         tmap = dict(zip(g.loc[g["side"] == 1, "key"],
                         g.loc[g["side"] == 1, "text"]))
         p = g[g["side"] == 0]
         return pd.DataFrame({
-            "a": p["key"].astype(np.int64),
+            "a": p["a"].astype(np.int64),
             "b": p["b"].astype(np.int64),
-            "text_a": p["key"].map(tmap),
+            "end_id": p["key"].astype(np.int64),
+            "text": p["key"].map(tmap),
         })
 
-    with_a = hash_rollup(t2, ["key"], attach_a,
-                         npartitions=npartitions).materialize()
-
-    # --- exchange 3: attach text_b + per-partition Jaccard ---
-    def pair_side_b(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": b["b"],
-            "a": b["a"],
-            "text_a": b["text_a"],
-            "text": pa.nulls(b.num_rows, pa.string()),
-            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-        })
-
-    def text_side_b(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": b["doc_id"],
-            "a": pa.nulls(b.num_rows, pa.int64()),
-            "text_a": pa.nulls(b.num_rows, pa.string()),
-            "text": b["text"],
-            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-        })
-
-    t3 = with_a.map_batches(pair_side_b, batch_format="pyarrow").union(
-        texts.map_batches(text_side_b, batch_format="pyarrow"))
+    halves_with_text = hash_rollup(t1, ["key"], attach,
+                                   npartitions=npartitions)
 
     def jaccard_part(g: pd.DataFrame) -> pd.DataFrame:
-        tmap = dict(zip(g.loc[g["side"] == 1, "key"],
-                        g.loc[g["side"] == 1, "text"]))
-        p = g[g["side"] == 0]
         grams: dict[int, set] = {}
 
         def gset(doc_id: int, text) -> set:
@@ -313,16 +253,34 @@ def verify_jaccard_pairs_distributed(pairs_ds, docs_ds, *,
                 grams[doc_id] = got
             return got
 
-        sims = [hashing.jaccard(gset(int(a), ta),
-                                gset(int(bb), tmap.get(bb)))
-                for a, bb, ta in zip(p["a"], p["key"], p["text_a"])]
-        out = pd.DataFrame({"a": p["a"].astype(np.int64),
-                            "b": p["key"].astype(np.int64),
-                            "jaccard": pd.Series(sims, dtype=np.float64,
-                                                 index=p.index)})
-        return out[out["jaccard"] >= threshold]
+        out_a, out_b, out_j = [], [], []
+        g = g.sort_values(["a", "b", "end_id"], kind="mergesort")
+        arr_a = g["a"].to_numpy()
+        arr_b = g["b"].to_numpy()
+        arr_e = g["end_id"].to_numpy()
+        arr_t = g["text"].to_numpy()
+        i = 0
+        n = len(g)
+        while i < n:
+            # the two halves of pair (a, b) are adjacent after the sort
+            if (i + 1 < n and arr_a[i] == arr_a[i + 1]
+                    and arr_b[i] == arr_b[i + 1]):
+                ga = gset(int(arr_e[i]), arr_t[i])
+                gb = gset(int(arr_e[i + 1]), arr_t[i + 1])
+                j = hashing.jaccard(ga, gb)
+                if j >= threshold:
+                    out_a.append(arr_a[i])
+                    out_b.append(arr_b[i])
+                    out_j.append(j)
+                i += 2
+            else:  # endpoint text missing (doc absent) — skip the orphan
+                i += 1
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
+                             "b": pd.Series(out_b, dtype=np.int64),
+                             "jaccard": pd.Series(out_j, dtype=np.float64)})
 
-    return hash_rollup(t3, ["key"], jaccard_part, npartitions=npartitions)
+    return hash_rollup(halves_with_text, ["a", "b"], jaccard_part,
+                       npartitions=npartitions)
 
 
 def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
