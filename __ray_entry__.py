@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": _q_ann_cosine,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
+        "embedding_dups_lsh": vectors.embedding_dups_lsh,
         # multimodal plumbing (deterministic fake codec; decode metadata is
         # doc_id-derived, so decode + frame sampling ARE oracle-checked)
         "media_decode": _q_media_decode,
@@ -257,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "minhash_clusters": _q_minhash_clusters,
         "approx_distinct_domains": _q_hll_domains,
+        "topology_arcs": _q_topology_arcs,
     }
 
 
@@ -791,6 +793,40 @@ def _q_boundary_hierarchy(sf_dir: str):
     res = boundary.extract_hierarchy(bsrc2.raw_boundaries())
     return pa.concat_tables(
         [res.levels[k].drop_columns(["geom_wkb"]) for k in (0, 1, 2)])
+
+
+def _q_topology_arcs(sf_dir: str):
+    """A5 topology build (proc_functions.sql:27-82 goal) rebuilt with the
+    pure-python shared-arc encoder: per country, the topology over its
+    level-1 children — feature/arc/shared-arc counts (rows-only: arc
+    decomposition is geometry-valued; deterministic and pytest-pinned).
+    Adjacent sibling states share borders, so n_shared_arcs > 0 is the
+    signal that shared edges are stored once."""
+    import pyarrow as pa
+
+    from posm_ray.geom import topology as topo
+    from posm_ray.geom import wkb as wkbm
+
+    levels = _boundary_levels()
+    by_country: dict[str, list[dict]] = {}
+    for r in levels[1].to_pylist():
+        by_country.setdefault(r["is_in"], []).append(r)
+    rows = []
+    for country in sorted(by_country):
+        feats = [{"id": r["osm_id"],
+                  "rings": wkbm.wkb_to_rings(r["geom_wkb"])}
+                 for r in sorted(by_country[country],
+                                 key=lambda r: r["osm_id"])]
+        t = topo.build_topology(feats)
+        st = topo.topology_stats(t)
+        rows.append((country, len(feats), st["n_arcs"],
+                     st["n_shared_arcs"]))
+    return pa.table({
+        "country": pa.array([r[0] for r in rows], pa.string()),
+        "n_features": pa.array([r[1] for r in rows], pa.int64()),
+        "n_arcs": pa.array([r[2] for r in rows], pa.int64()),
+        "n_shared_arcs": pa.array([r[3] for r in rows], pa.int64()),
+    })
 
 
 def _q_boundary_discards(sf_dir: str):

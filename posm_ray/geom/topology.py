@@ -126,6 +126,22 @@ def build_topology(features: list[dict], object_name: str = "boundaries") -> dic
     }
 
 
+def topology_stats(topo: dict, object_name: str = "boundaries") -> dict:
+    """Arc-sharing statistics: total arcs and arcs referenced by more than
+    one geometry (the shared borders the topology exists to deduplicate —
+    the reference builds these via PostGIS toTopoGeom,
+    proc_functions.sql:27-82)."""
+    use_count: dict[int, set] = {}
+    for gi, geom in enumerate(topo["objects"][object_name]["geometries"]):
+        for part in geom["arcs"]:
+            for ring_arcs in part:
+                for ai in ring_arcs:
+                    use_count.setdefault(ai if ai >= 0 else ~ai,
+                                         set()).add(gi)
+    shared = sum(1 for users in use_count.values() if len(users) > 1)
+    return {"n_arcs": len(topo["arcs"]), "n_shared_arcs": shared}
+
+
 def topology_to_rings(topo: dict, object_name: str = "boundaries"
                       ) -> list[tuple[str, list[np.ndarray]]]:
     """Inverse (for round-trip tests): reassemble each geometry's rings."""

@@ -32,6 +32,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages import dedup as dedup_stage
+
 DUP_EXACT_MOD = 13
 DUP_NEAR_MOD = 17
 NEAR_EPS = 0.02
@@ -129,6 +131,18 @@ SELECT x.vec_id AS a, y.vec_id AS b
 FROM noisy x JOIN noisy y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.embedding, y.embedding) >= {DUP_COS_THRESHOLD}
 """
+
+
+def embedding_dups_lsh(sf_dir: str, threshold: float = DUP_COS_THRESHOLD):
+    """The SCALE path for embedding near-dup: LSH-bucketed distributed
+    pairs over the noisy table — no broadcast matrix, no O(N^2) matmul
+    (dedup.embedding_near_dups_lsh). Approximate by construction (recall
+    ~0.998 at this threshold; exact copies always found) -> rows-only
+    check; a pytest pins subset-of-brute-force + recall vs
+    ``embedding_dups``."""
+    pairs = dedup_stage.embedding_near_dups_lsh(
+        noisy_embeddings(sf_dir), threshold=threshold)
+    return pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def ann_lsh(sf_dir: str, k: int = 5, nplanes: int = 6,

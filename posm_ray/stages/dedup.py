@@ -469,6 +469,90 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
     return hash_rollup(sigs, ["bucket"], bucket_verify)
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _lsh_planes(dim: int, nplanes: int, ntables: int, seed: int) -> np.ndarray:
+    key = (dim, nplanes, ntables, seed)
+    got = _PLANES_CACHE.get(key)
+    if got is None:
+        rng = np.random.RandomState(seed)
+        got = rng.standard_normal((ntables, dim, nplanes))
+        _PLANES_CACHE[key] = got
+    return got
+
+
+def embedding_near_dups_lsh(embeddings, *, threshold: float = 0.9,
+                            nplanes: int = 6, ntables: int = 12,
+                            seed: int = 42, npartitions: int = 16):
+    """Embedding-cosine near-dup at corpus scale: NO broadcast of the
+    vector matrix, no O(N^2) matmul (the brute-force ``embedding_dups``
+    baseline needs both). Random-hyperplane LSH buckets each vector into
+    ``ntables`` (table, bucket) keys; ONE hash exchange co-locates bucket
+    members; each partition runs the exact cosine verify inside its
+    buckets (vectorized matmul per bucket); a second tiny exchange dedupes
+    pairs found in multiple tables.
+
+    Exchange volume is O(rows x ntables) vector copies — the documented
+    trade vs the baseline's O(rows^2) compute. Recall per true pair p =
+    1-(1-(1-theta/pi)^nplanes)^ntables (~0.998 at cos 0.9 with 6x12);
+    exact duplicates collide in every table, so they are always found."""
+    from ..util import hash_rollup
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(),
+                         dtype=np.float64)
+        if len(vid) == 0:
+            return pa.table({"tbl": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float64()))})
+        planes = _lsh_planes(emb.shape[1], nplanes, ntables, seed)
+        bits = np.einsum("nd,tdp->ntp", emb, planes) > 0
+        sig = (bits * (1 << np.arange(nplanes))).sum(axis=2).astype(np.int64)
+        n = len(vid)
+        return pa.table({
+            "tbl": pa.array(np.repeat(np.arange(ntables, dtype=np.int32), n)),
+            "bucket": pa.array(sig.T.ravel()),
+            "vec_id": pa.array(np.tile(vid, ntables), pa.int64()),
+            "embedding": pa.array(list(emb) * ntables,
+                                  pa.list_(pa.float64())),
+        })
+
+    bucketed = embeddings.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in part.groupby(["tbl", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+            ids = g["vec_id"].to_numpy()[order]
+            mat = np.asarray(list(g["embedding"].to_numpy()[order]),
+                             dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            matn = mat / norms
+            sims = matn @ matn.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    pairs = hash_rollup(bucketed, ["tbl", "bucket"], bucket_verify,
+                        npartitions=npartitions)
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])
+
+    return hash_rollup(pairs, ["a", "b"], dedupe, npartitions=npartitions)
+
+
 def embedding_near_dups(embeddings, *, threshold: float = 0.95, k: int = 10,
                         sample_queries: int | None = None):
     """Embedding-cosine near-dup: exact top-k per vector (or a query sample),

@@ -173,16 +173,16 @@ def _hll_partial(batch: pa.Table, cell_col: str, bits: int) -> pa.Table:
     v ^= v >> np.uint64(31)
     reg = (v >> np.uint64(64 - bits)).astype(np.int64)
     rest = (v << np.uint64(bits)) | np.uint64((1 << bits) - 1)
-    # rho = leading zeros of rest + 1 (position of first 1 bit)
-    rho = np.zeros(len(rest), dtype=np.int64)
-    mask = np.uint64(1) << np.uint64(63)
+    # rho = leading zeros of rest + 1 — exact vectorized clz via 6 binary-
+    # search shift passes (float log2 would misround near powers of two)
+    clz = np.zeros(len(rest), dtype=np.uint64)
     cur = rest.copy()
-    found = np.zeros(len(rest), dtype=bool)
-    for i in range(64 - bits + 1):
-        hit = ~found & ((cur & mask) != 0)
-        rho[hit] = i + 1
-        found |= hit
-        cur = cur << np.uint64(1)
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = cur >> np.uint64(s)
+        empty = hi == 0
+        clz = np.where(empty, clz + np.uint64(s), clz)
+        cur = np.where(empty, cur, hi)
+    rho = (clz + 1).astype(np.int64)
     df = pd.DataFrame({"cell": cell, "register": reg, "rho": rho})
     g = df.groupby(["cell", "register"], sort=False)["rho"].max() \
         .reset_index(name="rho")
@@ -205,16 +205,24 @@ def approx_distinct_domains(join_rows, cell_col: str = "cell_r7",
         lambda b: _hll_partial(b, cell_col, bits), batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for cell, sub in g.groupby("cell", sort=False):
-            regs = np.zeros(m, dtype=np.int64)
-            mx = sub.groupby("register", sort=False)["rho"].max()
-            regs[mx.index.to_numpy()] = mx.to_numpy()
-            est = alpha * m * m / np.sum(np.power(2.0, -regs))
-            zeros = int((regs == 0).sum())
-            if est <= 2.5 * m and zeros:
-                est = m * np.log(m / zeros)  # linear counting correction
-            rows.append((cell, int(round(est))))
-        return pd.DataFrame(rows, columns=["cell", "approx_distinct_domains"])
+        """Vectorized register merge: max per (cell, register), then one
+        grouped pass computes every cell's harmonic estimate (absent
+        registers contribute 2^0 = 1 each) — no per-cell python loop."""
+        mx = g.groupby(["cell", "register"], sort=False)["rho"].max() \
+            .reset_index()
+        mx["pw"] = np.power(2.0, -mx["rho"].to_numpy(dtype=np.float64))
+        agg = mx.groupby("cell", sort=False).agg(
+            present=("register", "count"), s=("pw", "sum")).reset_index()
+        zeros = (m - agg["present"]).to_numpy(dtype=np.float64)
+        est = alpha * m * m / (agg["s"].to_numpy() + zeros)
+        use_lin = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1e-12),
+                                      1.0))
+        est = np.where(use_lin, lin, est)
+        return pd.DataFrame({
+            "cell": agg["cell"],
+            "approx_distinct_domains": np.round(est).astype(np.int64),
+        })
 
     return hash_rollup(partials, ["cell"], merge)

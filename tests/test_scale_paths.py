@@ -1,0 +1,61 @@
+"""Scale-path operators (round 2): LSH-bucketed embedding near-dup vs the
+brute-force baseline; topology-arcs stats; HLL vectorized internals."""
+
+import numpy as np
+
+
+class TestEmbeddingDupsLsh:
+    def test_subset_and_recall_vs_brute_force(self, ray_session):
+        from posm_ray.pipelines import vectors
+
+        brute = vectors.embedding_dups("/root/testdata/sf0.001").to_pandas()
+        lsh = vectors.embedding_dups_lsh("/root/testdata/sf0.001")
+        b = set(map(tuple, brute[["a", "b"]].itertuples(index=False)))
+        l = set(map(tuple, lsh[["a", "b"]].itertuples(index=False)))
+        assert l <= b            # the exact in-bucket verify admits no FPs
+        assert len(b) > 0
+        assert len(l) / len(b) >= 0.9   # OR-amplified recall
+        # exact copies collide in every table -> always found
+        exact = {(a, bb) for a, bb in b if bb - a == 1_000_000}
+        assert exact and exact <= l
+
+    def test_deterministic(self, ray_session):
+        from posm_ray.pipelines import vectors
+
+        a = vectors.embedding_dups_lsh("/root/testdata/sf0.001")
+        b = vectors.embedding_dups_lsh("/root/testdata/sf0.001")
+        assert a.equals(b)
+
+
+class TestTopologyArcs:
+    def test_shared_arcs_found(self, ray_session):
+        import __ray_entry__ as entry
+
+        t = entry.queries()["topology_arcs"]("/root/testdata/sf0.001")
+        df = t.to_pandas()
+        assert sorted(df["country"]) == ["R1000", "R2000", "R3000"]
+        assert (df["n_features"] == 4).all()   # 4 quartered states each
+        # quartered rectangles share interior borders: every country's
+        # topology must deduplicate at least one arc
+        assert (df["n_shared_arcs"] > 0).all()
+        assert (df["n_arcs"] < df["n_features"] * 4 + 4).all()
+
+
+class TestHllClz:
+    def test_vectorized_clz_exact(self):
+        """The 6-pass shift clz must equal python's bit_length-based clz on
+        adversarial values (powers of two, all-ones, near-boundary)."""
+        from posm_ray.stages import tiles
+
+        vals = [1, 2, 3, (1 << 63), (1 << 63) - 1, (1 << 64) - 1,
+                (1 << 40) + 1, 5, 0xF0F0F0F0F0F0F0F0]
+        v = np.array(vals, dtype=np.uint64)
+        clz = np.zeros(len(v), dtype=np.uint64)
+        cur = v.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            hi = cur >> np.uint64(s)
+            empty = hi == 0
+            clz = np.where(empty, clz + np.uint64(s), clz)
+            cur = np.where(empty, cur, hi)
+        want = [64 - x.bit_length() for x in vals]
+        assert list(clz.astype(int)) == want
