@@ -742,18 +742,11 @@ def _q_drill_down(sf_dir: str):
     """J6 for_osm_id drill-down (django demo models.py:11-39): per-child
     doc rollup of the flagship join rows under a country node and a state
     node; the two results concatenate with a query_node column."""
-    import pandas as pd
-
     from posm_ray.pipelines import boundary, flagship
 
-    b = bsrc.clean_boundaries()
-    parts = []
-    for node in DRILL_NODES:
-        df = boundary.drill_down(
-            flagship.join_rows(sf_dir, slim=True), b, node).to_pandas()
-        df["query_node"] = node
-        parts.append(df)
-    return pd.concat(parts, ignore_index=True)
+    return boundary.drill_down_multi(
+        flagship.join_rows(sf_dir, slim=True), bsrc.clean_boundaries(),
+        list(DRILL_NODES)).to_pandas()
 
 
 def _drill_down_sql() -> str:

@@ -452,6 +452,53 @@ def drill_down(join_rows_ds, boundaries: pa.Table, osm_id: str):
                        batch_format="pyarrow")
 
 
+def drill_down_multi(join_rows_ds, boundaries: pa.Table,
+                     nodes: list[str]):
+    """Several for_osm_id lookups in ONE pass over the big side: each
+    node's children mask applies per batch, partial counts tag the query
+    node, one tiny exchange merges. Output (query_node, child_id,
+    doc_count)."""
+    from ..util import hash_rollup
+
+    levels = dict(zip(boundaries["osm_id"].to_pylist(),
+                      boundaries["adminlevel"].to_pylist()))
+    ids = boundaries["osm_id"].to_pylist()
+    parents = boundaries["is_in"].to_pylist()
+    plans = []
+    for node in nodes:
+        child_col = {0: "level1_id", 1: "level2_id"}.get(levels.get(node))
+        if child_col is None:
+            continue
+        children = pa.array(sorted(
+            c for c, p in zip(ids, parents) if p == node))
+        plans.append((node, child_col, children))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for node, child_col, children in plans:
+            hit = batch.filter(pc.fill_null(
+                pc.is_in(batch[child_col], value_set=children), False))
+            g = pa.TableGroupBy(hit.select([child_col]), [child_col]) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["child_id", "cnt"])
+            outs.append(g.append_column(
+                "query_node", pa.array([node] * g.num_rows, pa.string())))
+        return pa.concat_tables(outs) if outs else pa.table({
+            "child_id": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "query_node": pa.array([], pa.string())})
+
+    partials = join_rows_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["query_node", "child_id"]).aggregate(
+            [("cnt", "sum")])
+        return g.rename_columns(["query_node", "child_id", "doc_count"])
+
+    return hash_rollup(partials, ["query_node", "child_id"], merge,
+                       npartitions=2, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # full pipeline + check files
 # ---------------------------------------------------------------------------
