@@ -577,12 +577,84 @@ def _boundary_levels():
 
 def _q_all_geom(sf_dir: str):
     """A2 deconstruct_geometry attributes (proc_functions.sql:86-200):
-    synthetic 'xxx' hole-filler rows included — rows-only (geometry logic
-    not SQL-expressible without PostGIS)."""
+    synthetic 'xxx' hole-filler rows included. Oracle: the attribute
+    semantics (which rows exist, their parents, the global xxx counter
+    order) re-derive from the hierarchy VALUES; the fixture's children are
+    strictly inset, so every parent-with-children yields a filler row
+    (the geometric never-covered invariant is pytest-covered)."""
     from posm_ray.pipelines import dissolve
 
     return dissolve.deconstruct_geometry(_boundary_levels()) \
         .drop_columns(["geom_wkb"])
+
+
+def _all_geom_sql() -> str:
+    return f"""
+WITH {_boundary_cand_sql()},
+sx AS (
+  SELECT s.*, ROW_NUMBER() OVER (ORDER BY s.prep_id) - 1 AS xid
+  FROM l1b s
+  WHERE EXISTS (SELECT 1 FROM l2b c WHERE c.state_id = s.prep_id)),
+cx0 AS (
+  SELECT b0.*, ROW_NUMBER() OVER (ORDER BY b0.prep_id) - 1 AS xid
+  FROM l0b b0
+  WHERE EXISTS (SELECT 1 FROM l1b s WHERE s.country_id = b0.prep_id))
+SELECT s.prep_id AS osm_id, CAST(NULL AS VARCHAR) AS is_in_state,
+       s.country_id AS is_in_country, CAST(s.admin_level AS INT) AS adminlevel
+FROM l1b s
+WHERE NOT EXISTS (SELECT 1 FROM l2b c WHERE c.state_id = s.prep_id)
+UNION ALL
+SELECT 'xxx' || CAST(xid AS VARCHAR), sx.prep_id, sx.country_id,
+       CAST(sx.admin_level AS INT)
+FROM sx
+UNION ALL
+SELECT c.prep_id, c.state_id, c.country_id, CAST(c.admin_level AS INT)
+FROM l2b c
+UNION ALL
+SELECT b0.prep_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(2 AS INT)
+FROM l0b b0
+WHERE NOT EXISTS (SELECT 1 FROM l1b s WHERE s.country_id = b0.prep_id)
+UNION ALL
+SELECT 'xxx' || CAST((SELECT COUNT(*) FROM sx) + xid AS VARCHAR),
+       CAST(NULL AS VARCHAR), cx0.prep_id, CAST(2 AS INT)
+FROM cx0
+"""
+
+
+def _simple_admin_sql() -> str:
+    """simple_admin id membership per level with ring counts — the
+    fixture's geometries are single-ring rectangles (DP-simplify keeps
+    them single-ring), so every member row carries n_rings=1 and the
+    level-0 NULL-key union row carries one ring per childless country."""
+    return f"""
+WITH {_boundary_cand_sql()},
+childless_c AS (
+  SELECT b0.prep_id FROM l0b b0
+  WHERE NOT EXISTS (SELECT 1 FROM l1b s WHERE s.country_id = b0.prep_id)),
+childless_s AS (
+  SELECT s.prep_id, s.country_id FROM l1b s
+  WHERE NOT EXISTS (SELECT 1 FROM l2b c WHERE c.state_id = s.prep_id))
+SELECT CAST(2 AS INT) AS level, prep_id AS osm_id,
+       CAST(1 AS BIGINT) AS n_rings
+FROM l2b
+UNION ALL
+SELECT CAST(1 AS INT), s.prep_id, CAST(1 AS BIGINT)
+FROM l1b s WHERE EXISTS (SELECT 1 FROM l2b c WHERE c.state_id = s.prep_id)
+UNION ALL
+SELECT CAST(1 AS INT), prep_id, CAST(1 AS BIGINT) FROM childless_s
+UNION ALL
+SELECT CAST(1 AS INT), prep_id, CAST(1 AS BIGINT) FROM childless_c
+UNION ALL
+SELECT CAST(0 AS INT), b0.prep_id, CAST(1 AS BIGINT)
+FROM l0b b0 WHERE EXISTS (SELECT 1 FROM l1b s WHERE s.country_id = b0.prep_id)
+UNION ALL
+SELECT CAST(0 AS INT), CAST(NULL AS VARCHAR),
+       (SELECT COUNT(*) FROM childless_c)
+WHERE EXISTS (SELECT 1 FROM childless_c)
+UNION ALL
+SELECT CAST(0 AS INT), prep_id, CAST(1 AS BIGINT) FROM childless_c
+"""
 
 
 def _q_simple_admin(sf_dir: str):
@@ -663,10 +735,18 @@ cand AS (
     AND boundary = 'administrative'),
 l0b AS (SELECT * FROM cand WHERE admin_level = '2'),
 l1b AS (
-  SELECT c.* FROM cand c JOIN l0b b0
+  SELECT c.*, b0.prep_id AS country_id FROM cand c JOIN l0b b0
     ON c.cx > b0.minx AND c.cx < b0.maxx
    AND c.cy > b0.miny AND c.cy < b0.maxy
-  WHERE c.admin_level = {bsrc.mapping_case_sql(1, 'b0.prep_id')})
+  WHERE c.admin_level = {bsrc.mapping_case_sql(1, 'b0.prep_id')}),
+l2b AS (
+  SELECT c.*, b1.prep_id AS state_id, b1.country_id
+  FROM cand c
+  JOIN l0b b0 ON c.cx > b0.minx AND c.cx < b0.maxx
+             AND c.cy > b0.miny AND c.cy < b0.maxy
+  JOIN l1b b1 ON c.cx > b1.minx AND c.cx < b1.maxx
+             AND c.cy > b1.miny AND c.cy < b1.maxy
+  WHERE c.admin_level = {bsrc.mapping_case_sql(2, 'b0.prep_id')})
 """
 
 
@@ -961,6 +1041,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": textops.lang_quality_sql(),
         "boundary_hierarchy": _boundary_hierarchy_sql(),
         "drill_down": _drill_down_sql(),
+        "all_geom": _all_geom_sql(),
+        "simple_admin": _simple_admin_sql(),
+        # poly_export stays rows-only: DuckDB's printf('%.6E') (fmt lib)
+        # rounds half-boundary mantissas (…99995) differently from C
+        # printf, so byte parity is impossible in SQL — the golden pytest
+        # against the reference's shipped NP_R184633.poly pins the format.
         "boundary_discards": _boundary_discards_sql(),
         "boundary_problems": _boundary_problems_sql(),
         "raster_tiles": _raster_tiles_sql(),
@@ -968,8 +1054,9 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _media_resize_sql(),
         # Intentionally omitted (rows-only checks): minhash_* / simhash /
         # rolling_fingerprints (hash pipelines not SQL-expressible),
-        # ann_cosine_lsh / ann_cosine_ivf (approximate-by-design),
-        # media_embed (float vectors), all_geom / simple_admin /
-        # poly_export (geometry-valued), resumable_tiles (layout-dependent
-        # manifests), approx_distinct_domains (sketch).
+        # ann_cosine_lsh / ann_cosine_ivf / embedding_dups_lsh
+        # (approximate-by-design), media_embed (float vectors),
+        # poly_export / topology_arcs (geometry-valued; golden/pytest
+        # pinned), resumable_tiles (layout-dependent manifests),
+        # approx_distinct_domains (sketch).
     }
