@@ -336,6 +336,84 @@ WHERE len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g))
 """
 
 
+# C4-style quality gate thresholds (published-heuristic shapes: length
+# bounds, punctuation/digit density caps, minimum word count)
+QF_MIN_CHARS = 80
+QF_MAX_CHARS = 20000
+QF_MIN_TOKENS = 10
+QF_MAX_PUNCT_PER_CHAR_PCT = 20   # n_punct * 100 < n_chars * 20
+QF_MAX_DIGIT_PER_CHAR_PCT = 30
+
+
+def quality_filter(sf_dir: str):
+    """Training-data quality GATE (the filter stage a C4-style pipeline
+    runs before dedup): keep documents passing integer-exact length /
+    token / punctuation-density / digit-density rules; rejected rows keep
+    an audit ``reject_reason`` (first failing rule, fixed order — the
+    DiscardFeatureWriter pattern applied to webtext). Output
+    (doc_id, kept, reject_reason) for every document — exact SQL twin
+    (all-integer arithmetic; density caps compare n*100 < limit*chars, no
+    float division)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        kept, reason = [], []
+        for t in texts:
+            m = textfn.quality_metrics(t)
+            toks = textfn.token_count(t)
+            if m["n_chars"] < QF_MIN_CHARS:
+                r = "too_short"
+            elif m["n_chars"] > QF_MAX_CHARS:
+                r = "too_long"
+            elif toks < QF_MIN_TOKENS:
+                r = "too_few_tokens"
+            elif m["n_punct"] * 100 >= m["n_chars"] * QF_MAX_PUNCT_PER_CHAR_PCT:
+                r = "punct_dense"
+            elif m["n_digit"] * 100 >= m["n_chars"] * QF_MAX_DIGIT_PER_CHAR_PCT:
+                r = "digit_dense"
+            else:
+                r = None
+            kept.append(r is None)
+            reason.append(r)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "kept": pa.array(kept, pa.bool_()),
+            "reject_reason": pa.array(reason, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = rf"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}-]', '', 'g'))) AS n_punct,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digit,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents)
+SELECT doc_id,
+  CASE
+    WHEN n_chars < {QF_MIN_CHARS} THEN 'too_short'
+    WHEN n_chars > {QF_MAX_CHARS} THEN 'too_long'
+    WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_few_tokens'
+    WHEN n_punct * 100 >= n_chars * {QF_MAX_PUNCT_PER_CHAR_PCT} THEN 'punct_dense'
+    WHEN n_digit * 100 >= n_chars * {QF_MAX_DIGIT_PER_CHAR_PCT} THEN 'digit_dense'
+  END AS reject_reason,
+  CASE
+    WHEN n_chars < {QF_MIN_CHARS} OR n_chars > {QF_MAX_CHARS}
+      OR n_tokens < {QF_MIN_TOKENS}
+      OR n_punct * 100 >= n_chars * {QF_MAX_PUNCT_PER_CHAR_PCT}
+      OR n_digit * 100 >= n_chars * {QF_MAX_DIGIT_PER_CHAR_PCT}
+    THEN FALSE ELSE TRUE END AS kept
+FROM m
+"""
+
+
 def quality_quartiles(sf_dir: str):
     """Per-lang exact order statistics of doc length (q25/median/q75).
     Order stats have no combiner, so the raw (lang, n_chars) pairs — 10

@@ -41,6 +41,64 @@ class TestTopologyArcs:
         assert (df["n_arcs"] < df["n_features"] * 4 + 4).all()
 
 
+class TestQualityFilter:
+    def test_matches_oracle(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        got = textops.quality_filter("/root/testdata/sf0.001").to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = con.execute(textops.QUALITY_FILTER_SQL).df()
+        g = got.sort_values("doc_id").reset_index(drop=True)
+        w = want.sort_values("doc_id").reset_index(drop=True)
+        assert (g["kept"].to_numpy() == w["kept"].to_numpy()).all()
+        assert list(g["reject_reason"].fillna("")) == \
+            list(w["reject_reason"].fillna(""))
+        assert (~g["kept"]).sum() > 0  # the gate does real work
+
+    def test_every_rule_fires(self, ray_session):
+        """Rules the uniform synthetic corpus can't trip (punct/digit
+        density, too_long) verified on crafted docs through the SAME
+        pipeline + SQL twin."""
+        import tempfile
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from posm_ray.pipelines import textops
+
+        docs = [
+            (1, "word " * 40),                          # kept
+            (2, "tiny"),                                # too_short
+            (3, "x" * 30000),                           # too_long
+            (4, "supercalifragilistic " * 8),           # too_few_tokens
+            (5, "!?.,;:-" * 20 + " ok " * 10),          # punct_dense
+            (6, "12345 67890 " * 12),                   # digit_dense
+        ]
+        with tempfile.TemporaryDirectory(dir="/tmp") as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }), f"{d}/documents.parquet")
+            got = textops.quality_filter(d).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            con = duckdb.connect()
+            con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                        f"read_parquet('{d}/documents.parquet')")
+            want = con.execute(textops.QUALITY_FILTER_SQL).df() \
+                .sort_values("doc_id").reset_index(drop=True)
+        assert list(got["reject_reason"].fillna("")) == \
+            list(want["reject_reason"].fillna(""))
+        assert list(got["reject_reason"][1:]) == [
+            "too_short", "too_long", "too_few_tokens", "punct_dense",
+            "digit_dense"]
+        assert bool(got["kept"][0]) and not got["kept"][1:].any()
+
+
 class TestHllClz:
     def test_vectorized_clz_exact(self):
         """The 6-pass shift clz must equal python's bit_length-based clz on
