@@ -415,21 +415,39 @@ def near_dup_clusters(verified_pairs: pd.DataFrame) -> dict[int, int]:
 # ---------------------------------------------------------------------------
 
 def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
+                  ntables: int = 1,
                   id_col: str = "doc_id", text_col: str = "text"):
-    """SimHash near-dup: bucket by the top ``prefix_bits`` of the fingerprint
-    (docs differing in <= max_hamming bits usually share a prefix bucket for
-    small thresholds; multi-table prefixes would raise recall — documented
-    approximation), verify hamming distance within buckets."""
+    """SimHash near-dup: bucket by the top ``prefix_bits`` of the
+    fingerprint, verify hamming distance within buckets.
+
+    ``ntables`` > 1 raises recall with ROTATED prefixes: table t buckets
+    on the prefix of the signature rotated left by t*(64//ntables) bits,
+    so a pair differing only inside one table's prefix window still
+    collides in another table (a pair within ``max_hamming`` bits misses
+    only if every rotation window contains a differing bit). Pairs found
+    in several tables dedupe in a second tiny exchange; ``ntables=1``
+    keeps the original single-exchange plan and output."""
+
+    rot_step = 64 // max(ntables, 1)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(text_col).to_pylist()
-        sigs = [hashing.simhash(t) for t in texts]
+        raw = np.array([hashing.simhash(t) for t in texts], dtype=np.uint64)
+        n = len(ids)
+        out_id = np.tile(ids, ntables)
+        out_sig = np.tile(raw, ntables)
+        out_tbl = np.repeat(np.arange(ntables, dtype=np.int64), n)
+        rot = (out_tbl * rot_step).astype(np.uint64)
+        rotated = np.where(
+            rot == 0, out_sig,
+            (out_sig << rot) | (out_sig >> (np.uint64(64) - rot)))
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "simhash": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "simhash": pa.array(out_sig.view(np.int64)),
+            "tbl": pa.array(out_tbl),
             "bucket": pa.array(
-                np.array([s >> (64 - prefix_bits) for s in sigs], dtype=np.int64)),
+                (rotated >> np.uint64(64 - prefix_bits)).view(np.int64)),
         })
 
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow")
@@ -439,7 +457,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
         uint64 signature array + byte-table popcount — no python pair loop
         (a hot prefix bucket stays O(bucket^2) *numpy* work, not python)."""
         out_a, out_b, out_h = [], [], []
-        for _, g in part.groupby("bucket", sort=False):
+        for _, g in part.groupby(["tbl", "bucket"], sort=False):
             order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
             ids = g["doc_id"].to_numpy()[order]
             sig = g["simhash"].to_numpy().view(np.uint64)[order]
@@ -466,7 +484,14 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
 
     from ..util import hash_rollup
 
-    return hash_rollup(sigs, ["bucket"], bucket_verify)
+    pairs = hash_rollup(sigs, ["tbl", "bucket"], bucket_verify)
+    if ntables == 1:
+        return pairs
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])
+
+    return hash_rollup(pairs, ["a", "b"], dedupe)
 
 
 _PLANES_CACHE: dict = {}

@@ -163,29 +163,35 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
         return pd.concat(frames, ignore_index=True)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        """Fully vectorized per-shard kNN: one (Q, N) haversine matrix,
+        candidates pre-sorted by id so a row-wise STABLE argsort on
+        distance gives the (dist, neighbor_id) tie order without a
+        per-query python loop."""
         shard = g["shard"].iloc[0]
         owners = g[g["home"] == shard]  # points whose home is this shard
         if len(owners) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist_m": [],
                                  "rank": []})
-        cand = g
+        order_c = np.argsort(g[id_col].to_numpy(), kind="stable")
+        cid = g[id_col].to_numpy()[order_c]
+        clat = g["lat"].to_numpy()[order_c]
+        clon = g["lon"].to_numpy()[order_c]
+        qid = owners[id_col].to_numpy()
         qlat = owners["lat"].to_numpy()
         qlon = owners["lon"].to_numpy()
-        qid = owners[id_col].to_numpy()
-        clat = cand["lat"].to_numpy()
-        clon = cand["lon"].to_numpy()
-        cid = cand[id_col].to_numpy()
-        frames = []
-        for i in range(len(qid)):
-            d = haversine_m(qlat[i], qlon[i], clat, clon)
-            mask = cid != qid[i]
-            dd, ii = d[mask], cid[mask]
-            order = np.lexsort((ii, dd))[:k]
-            frames.append(pd.DataFrame({
-                "query_id": qid[i], "neighbor_id": ii[order],
-                "dist_m": dd[order],
-                "rank": np.arange(1, len(order) + 1, dtype=np.int64)}))
-        return pd.concat(frames, ignore_index=True)
+        d = haversine_m(qlat[:, None], qlon[:, None],
+                        clat[None, :], clon[None, :])
+        d[qid[:, None] == cid[None, :]] = np.inf  # exclude self
+        kk = min(k, d.shape[1])
+        top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        rows_q = np.repeat(qid, kk)
+        rows_n = cid[top].ravel()
+        rows_d = np.take_along_axis(d, top, axis=1).ravel()
+        rows_r = np.tile(np.arange(1, kk + 1, dtype=np.int64), len(qid))
+        keep = np.isfinite(rows_d)  # drop padded self-only slots
+        return pd.DataFrame({
+            "query_id": rows_q[keep], "neighbor_id": rows_n[keep],
+            "dist_m": rows_d[keep], "rank": rows_r[keep]})
 
     from ..util import hash_rollup
 

@@ -99,6 +99,27 @@ class TestQualityFilter:
         assert bool(got["kept"][0]) and not got["kept"][1:].any()
 
 
+class TestSimhashMultiTable:
+    def test_rotated_tables_superset(self, ray_session):
+        """Multi-table rotated prefixes can only ADD pairs (same hamming
+        verify; more collision windows) and must keep every single-table
+        pair."""
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        docs1 = textops.noisy_documents("/root/testdata/sf0.001")
+        one = dedup.simhash_pairs(docs1, max_hamming=6).to_pandas()
+        docs4 = textops.noisy_documents("/root/testdata/sf0.001")
+        four = dedup.simhash_pairs(docs4, max_hamming=6,
+                                   ntables=4).to_pandas()
+        s1 = set(map(tuple, one[["a", "b"]].itertuples(index=False)))
+        s4 = set(map(tuple, four[["a", "b"]].itertuples(index=False)))
+        assert s1 <= s4
+        assert len(s1) > 0
+        # no duplicate pairs after the cross-table dedupe
+        assert len(s4) == len(four)
+
+
 class TestHllClz:
     def test_vectorized_clz_exact(self):
         """The 6-pass shift clz must equal python's bit_length-based clz on
