@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_range_join": _q_range_join,
         "props_k": _q_props_k,
         "late_events": _q_late_events,
+        "sliding_window": _q_sliding_window,
         "type_revenue": relational.type_revenue,
         "doc_sample": relational.doc_sample,
         "raster_tiles": _q_raster_tiles,
@@ -397,6 +398,12 @@ def _q_late_events(sf_dir: str):
     from posm_ray.pipelines import events as ev
 
     return ev.late_events(sf_dir)
+
+
+def _q_sliding_window(sf_dir: str):
+    from posm_ray.pipelines import events as ev
+
+    return ev.sliding_window_counts(sf_dir)
 
 
 def _events_late_sql() -> str:
@@ -1036,6 +1043,8 @@ def oracle_sql() -> dict[str, str]:
         "value_range_join": _events_range_sql(),
         "props_k": _events_props_sql(),
         "late_events": _events_late_sql(),
+        "sliding_window": __import__(
+            "posm_ray.pipelines.events", fromlist=["x"]).SLIDING_WINDOW_SQL,
         "type_revenue": relational.TYPE_REVENUE_SQL,
         "doc_sample": relational.DOC_SAMPLE_SQL,
         "knn_geo": _knn_geo_sql(),

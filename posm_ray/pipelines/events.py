@@ -193,6 +193,53 @@ FROM events
 """
 
 
+SLIDE_WINDOW_MIN = 60
+
+
+def sliding_window_counts(sf_dir: str, window_min: int = SLIDE_WINDOW_MIN):
+    """Sliding (trailing) window aggregate: for every event, the count of
+    the SAME user's events in [ts - window, ts] — the RANGE-window op Ray
+    Data lacks natively. Hash-partition by user, sort once per partition,
+    then a vectorized ``searchsorted`` finds each event's window start;
+    count = position - start + 1. Equal timestamps all fall inside each
+    other's windows, matching SQL RANGE semantics exactly (side='right'
+    vs 'left' bounds)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        out = np.empty(len(g), dtype=np.int64)
+        users = g["user_id"].to_numpy()
+        bounds = np.flatnonzero(np.diff(users)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(g)]))
+        w = np.timedelta64(window_min, "m")
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            first = np.searchsorted(seg, seg - w, side="left")
+            last = np.searchsorted(seg, seg, side="right")
+            out[s:e] = last - first
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "n_window": out,
+        })
+
+    return hash_rollup(ds, ["user_id"], per_part, npartitions=16)
+
+
+SLIDING_WINDOW_SQL = f"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL {SLIDE_WINDOW_MIN} MINUTE PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS n_window
+FROM events
+"""
+
+
 LATENESS_MIN = 60
 DISORDER_MOD = 13       # event_id % 13 == 0 -> ts shifted back 90 minutes
 DISORDER_SHIFT_MIN = 90

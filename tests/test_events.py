@@ -96,3 +96,18 @@ class TestLateEvents:
         # sparser streams advance the watermark more per event, so fewer
         # backshifted events exceed the bound; half is the sf0.001 floor
         assert len(late) >= 0.4 * n_disordered
+
+
+class TestSlidingWindow:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import events as ev
+
+        a = _compare("sliding_window",
+                     ev.sliding_window_counts(SF).to_pandas(),
+                     ev.SLIDING_WINDOW_SQL)
+        # every event counts at least itself; counts are bounded by the
+        # user's total events
+        assert (a["n_window"] >= 1).all()
+        per_user = a.groupby("user_id")["event_id"].count()
+        mx = a.groupby("user_id")["n_window"].max()
+        assert (mx <= per_user.loc[mx.index]).all()
