@@ -154,8 +154,11 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, threshold: float = 0.5,
                          ngram: int = 5, id_col: str = "doc_id",
                          text_col: str = "text"):
-    """Exact n-gram Jaccard over candidate pairs. The doc texts needed are
-    only those appearing in candidates (small side) — broadcast them."""
+    """DRIVER-SIDE reference implementation of the exact-Jaccard verify,
+    kept ONLY as the pytest oracle for
+    :func:`verify_jaccard_pairs_distributed` (which is the production
+    path — this one collects candidate pairs + texts on the driver and
+    does not scale past fits-in-driver candidate sets)."""
     import ray
 
     cand = pairs_ds.to_pandas()
@@ -580,8 +583,11 @@ def embedding_near_dups_lsh(embeddings, *, threshold: float = 0.9,
 
 def embedding_near_dups(embeddings, *, threshold: float = 0.95, k: int = 10,
                         sample_queries: int | None = None):
-    """Embedding-cosine near-dup: exact top-k per vector (or a query sample),
-    filtered to cosine >= threshold."""
+    """Embedding-cosine near-dup via exact top-k per vector (or a query
+    sample), filtered to cosine >= threshold. Small-scale baseline: pulls
+    the embedding matrix to the driver for the query side — use
+    :func:`embedding_near_dups_lsh` (bucketed, fully distributed) at
+    corpus scale."""
     from . import knn as knn_stage
 
     emb_pd = embeddings.to_pandas() if sample_queries else None
