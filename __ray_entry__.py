@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_revenue": relational.type_revenue,
         "doc_sample": relational.doc_sample,
         "raster_tiles": _q_raster_tiles,
+        "raster_vectorize": _q_raster_vectorize,
+        "knn_geo_sharded": _q_knn_sharded,
         "s2_covering": _q_s2_covering,
         "media_resize": _q_media_resize,
         "minhash_clusters": _q_minhash_clusters,
@@ -341,6 +343,69 @@ SELECT c7 AS cell,
        COUNT(*) AS doc_count
 FROM c GROUP BY 1, 2
 """
+
+
+# threshold 1 keeps every occupied pixel so all 401 reconstructed boxes
+# (4 float64 bounds each) hash-verify; the >1 thresholding path is
+# pytest-pinned (only the mega-cell pixel survives threshold 2)
+RASTER_VEC_THRESHOLD = 1
+
+
+def _q_raster_vectorize(sf_dir: str):
+    """raster -> vector: threshold the per-pixel raster and reconstruct
+    each surviving pixel's georeferenced box (bit math + cell_bounds float
+    ops in the SQL twin's exact order — hash-checked incl. the doubles)."""
+    from posm_ray.stages import extract as extract_stage, tiles as tiles_stage
+
+    pages = synth.read_pages(sf_dir)
+    ds = extract_stage.extracted_pages(pages)
+    raster = tiles_stage.raster_tiles(ds)
+    return tiles_stage.raster_to_vector(raster,
+                                        threshold=RASTER_VEC_THRESHOLD)
+
+
+def _raster_vectorize_sql() -> str:
+    nx, ny = cells.ncols(9), cells.nrows(9)
+    return f"""
+WITH r AS ({_raster_tiles_sql()}),
+f AS (SELECT * FROM r WHERE doc_count >= {RASTER_VEC_THRESHOLD}),
+g AS (SELECT cell, pixel_idx, doc_count,
+        (((cell >> 24) & 16777215) << 2) | (pixel_idx >> 2) AS ix,
+        ((cell & 16777215) << 2) | (pixel_idx & 3) AS iy
+      FROM f)
+SELECT cell, pixel_idx, doc_count,
+       CAST(ix AS DOUBLE) / {nx} * 360.0 - 180.0 AS minx,
+       CAST(iy AS DOUBLE) / {ny} * 180.0 - 90.0 AS miny,
+       CAST(ix + 1 AS DOUBLE) / {nx} * 360.0 - 180.0 AS maxx,
+       CAST(iy + 1 AS DOUBLE) / {ny} * 180.0 - 90.0 AS maxy
+FROM g
+"""
+
+
+def _q_knn_sharded(sf_dir: str):
+    """All-pairs kNN via the sharded+halo path over every document point
+    (rows-only: trig; exactness within one shard width is pytest-pinned
+    vs brute force)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from posm_ray.stages import knn
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def coords(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lat": pa.array(synth.derive_lat(did)),
+            "lon": pa.array(synth.derive_lon(did)),
+        })
+
+    pts = docs.map_batches(coords, batch_format="pyarrow")
+    out = knn.knn_sharded(pts, k=3, shard_res=2)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def _q_s2_covering(sf_dir: str):
@@ -1061,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         "boundary_discards": _boundary_discards_sql(),
         "boundary_problems": _boundary_problems_sql(),
         "raster_tiles": _raster_tiles_sql(),
+        "raster_vectorize": _raster_vectorize_sql(),
         "s2_covering": _s2_covering_sql(),
         "media_resize": _media_resize_sql(),
         # Intentionally omitted (rows-only checks): minhash_* / simhash /

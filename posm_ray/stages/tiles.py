@@ -155,6 +155,43 @@ def raster_tiles(extracted, base_res: int = 7, pix_res: int = 9):
     return hash_rollup(pairs, ["cell"], merge, batch_format="pyarrow")
 
 
+def raster_to_vector(raster_ds, *, threshold: int = 1, base_res: int = 7,
+                     pix_res: int = 9):
+    """The vector side of raster<->vector: threshold the raster (per-pixel
+    doc counts from :func:`raster_tiles`) and emit each surviving pixel as
+    a georeferenced box feature (cell, pixel_idx, doc_count,
+    minx/miny/maxx/maxy) — the quantized-polygon reconstruction the
+    reference's snapToGrid move feeds (POSMmanagement/process.py:85-102).
+    Pure per-batch arithmetic (bit math + the cell_bounds float ops in
+    cell_sql's exact order), so the DuckDB twin is bit-identical."""
+    from .. import cells as cellmod
+
+    span = pix_res - base_res
+    mask = (1 << span) - 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.greater_equal(batch["doc_count"], threshold))
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        pix = batch.column("pixel_idx").to_numpy(zero_copy_only=False)
+        bx, by = cellmod.cell_ixy(cell)
+        # reconstruct the pix-res subcell from base cell + local pixel bits
+        ix = (bx << span) | (pix >> span)
+        iy = (by << span) | (pix & mask)
+        sub = cellmod.pack(pix_res, ix, iy)
+        minx, miny, maxx, maxy = cellmod.cell_bounds(sub)
+        return pa.table({
+            "cell": batch["cell"],
+            "pixel_idx": batch["pixel_idx"],
+            "doc_count": batch["doc_count"],
+            "minx": pa.array(minx), "miny": pa.array(miny),
+            "maxx": pa.array(maxx), "maxy": pa.array(maxy),
+        })
+
+    return raster_ds.map_batches(fn, batch_format="pyarrow")
+
+
 HLL_BITS = 6  # 64 registers, ~13% standard error — mergeable sketch
 
 

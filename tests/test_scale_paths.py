@@ -99,6 +99,29 @@ class TestQualityFilter:
         assert bool(got["kept"][0]) and not got["kept"][1:].any()
 
 
+class TestRasterToVector:
+    def test_threshold_keeps_mega_pixel(self, ray_session):
+        """At threshold 2 on sf0.001 only the mega-cell pixel (20% of all
+        docs geocode there) survives; its box must contain the mega point."""
+        from posm_ray.sources import synth
+        from posm_ray.stages import extract as ex, tiles as ti
+
+        raster = ti.raster_tiles(ex.extracted_pages(
+            synth.read_pages("/root/testdata/sf0.001")))
+        vec = ti.raster_to_vector(raster, threshold=2).to_pandas()
+        assert len(vec) >= 1
+        hot = vec.sort_values("doc_count", ascending=False).iloc[0]
+        assert hot["minx"] < synth.MEGA_LON < hot["maxx"]
+        assert hot["miny"] < synth.MEGA_LAT < hot["maxy"]
+        # boxes are exactly one pix-res cell wide
+        import numpy as np
+
+        from posm_ray import cells
+
+        w = cells.cell_width_deg(9)
+        assert np.allclose(vec["maxx"] - vec["minx"], w)
+
+
 class TestSimhashMultiTable:
     def test_rotated_tables_superset(self, ray_session):
         """Multi-table rotated prefixes can only ADD pairs (same hamming
