@@ -523,3 +523,173 @@ ranked AS (
   FROM counts)
 SELECT lang, token, n, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (C4-style line dedup; deterministic 8-word segmentation)
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 8
+# winner order packs (doc_id, chunk_no) into one int64 so the min-winner
+# reduction is a single Arrow group-min: assumes chunk_no < 2^20 (docs
+# shorter than ~8M words) and doc_id < 2^43 — both document-corpus-safe.
+_CHUNK_NO_BITS = 20
+
+
+def chunk_dedup(sf_dir: str, *, chunk_words: int = CHUNK_WORDS,
+                npartitions: int = 16):
+    """C4-style duplicate-chunk removal over the noisy corpus: segment each
+    document into consecutive ``chunk_words``-word chunks, keep only the
+    GLOBAL first occurrence of each distinct chunk (ordered by (doc_id,
+    chunk_no)), reassemble surviving chunks in original order. Documents
+    whose every chunk is a duplicate disappear (the injected exact-dup docs
+    collapse entirely; near-dups keep only their divergent tail chunk).
+
+    Scale shape — three streaming hash exchanges, nothing on the driver:
+      1. winner election: per-block Arrow group-min of packed (doc_id,
+         chunk_no) per chunk hash (combiner), then `hash_rollup` on
+         chunk_hash — only (hash, ord) pairs move;
+      2. tagged-union co-partition of chunk rows with winners on
+         chunk_hash, vectorized keep of rows whose packed ord == winner;
+      3. `hash_rollup` on doc_id reassembles kept chunks (sort by
+         chunk_no, single join) and counts kept/dropped.
+    The chunk text crosses the wire once (exchange 2); exchange 1 and 3
+    move only ids/hashes and the surviving text respectively.
+    """
+    from ..functions import hashing
+    from ..util import hash_rollup
+
+    docs = noisy_documents(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_no, out_chunk, out_hash, out_tot = [], [], [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for did, txt in zip(ids, texts):
+            # split(' ') (not split()) mirrors DuckDB string_split semantics
+            words = (txt or "").split(" ")
+            n_chunks = (len(words) + chunk_words - 1) // chunk_words
+            for i in range(n_chunks):
+                chunk = " ".join(words[i * chunk_words:(i + 1) * chunk_words])
+                out_id.append(did)
+                out_no.append(i + 1)
+                out_chunk.append(chunk)
+                out_hash.append(hashing.hash_bytes(chunk.encode("utf-8")))
+                out_tot.append(n_chunks)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_no": pa.array(out_no, pa.int64()),
+            "chunk": pa.array(out_chunk, pa.string()),
+            "chunk_hash": pa.array(out_hash, pa.int64()),
+            "n_chunks": pa.array(out_tot, pa.int64()),
+        })
+
+    chunks = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    shift = np.int64(1 << _CHUNK_NO_BITS)
+
+    def partial_winners(b: pa.Table) -> pa.Table:
+        ordv = pc.add(pc.multiply(b["doc_id"], pa.scalar(shift, pa.int64())),
+                      b["chunk_no"])
+        t = pa.table({"chunk_hash": b["chunk_hash"], "ord": ordv})
+        g = pa.TableGroupBy(t, ["chunk_hash"]).aggregate([("ord", "min")])
+        return g.rename_columns(["chunk_hash", "win_ord"])
+
+    def merge_winners(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["chunk_hash"]).aggregate([("win_ord", "min")])
+        return g.rename_columns(["chunk_hash", "win_ord"])
+
+    winners = hash_rollup(
+        chunks.map_batches(partial_winners, batch_format="pyarrow"),
+        ["chunk_hash"], merge_winners, npartitions=npartitions,
+        batch_format="pyarrow")
+
+    # exchange 2: tagged union co-partition on chunk_hash, keep winners only
+    def tag_chunks(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "chunk_hash": b["chunk_hash"],
+            "doc_id": b["doc_id"],
+            "chunk_no": b["chunk_no"],
+            "chunk": b["chunk"],
+            "n_chunks": b["n_chunks"],
+            "win_ord": pa.nulls(b.num_rows, pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def tag_winners(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "chunk_hash": b["chunk_hash"],
+            "doc_id": pa.nulls(n, pa.int64()),
+            "chunk_no": pa.nulls(n, pa.int64()),
+            "chunk": pa.nulls(n, pa.string()),
+            "n_chunks": pa.nulls(n, pa.int64()),
+            "win_ord": b["win_ord"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    tagged = chunks.map_batches(tag_chunks, batch_format="pyarrow").union(
+        winners.map_batches(tag_winners, batch_format="pyarrow"))
+
+    def keep_winning(g: pd.DataFrame) -> pd.DataFrame:
+        wmap = dict(zip(g.loc[g["side"] == 1, "chunk_hash"],
+                        g.loc[g["side"] == 1, "win_ord"]))
+        c = g[g["side"] == 0]
+        ordv = (c["doc_id"].to_numpy(dtype=np.int64) << _CHUNK_NO_BITS) \
+            + c["chunk_no"].to_numpy(dtype=np.int64)
+        win = c["chunk_hash"].map(wmap).to_numpy(dtype=np.int64)
+        kept = c[ordv == win]
+        return pd.DataFrame({
+            "doc_id": kept["doc_id"].astype(np.int64),
+            "chunk_no": kept["chunk_no"].astype(np.int64),
+            "chunk": kept["chunk"],
+            "n_chunks": kept["n_chunks"].astype(np.int64),
+        })
+
+    kept = hash_rollup(tagged, ["chunk_hash"], keep_winning,
+                       npartitions=npartitions)
+
+    # exchange 3: reassemble per doc
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_no"], kind="mergesort")
+        out = g.groupby("doc_id", sort=True).agg(
+            text_clean=("chunk", " ".join),
+            n_kept=("chunk", "size"),
+            n_chunks=("n_chunks", "first"),
+        ).reset_index()
+        out["n_dropped"] = (out["n_chunks"] - out["n_kept"]).astype(np.int64)
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out[["doc_id", "text_clean", "n_kept", "n_dropped"]]
+
+    return hash_rollup(kept, ["doc_id"], reassemble, npartitions=npartitions)
+
+
+def chunk_dedup_sql(chunk_words: int = CHUNK_WORDS) -> str:
+    """DuckDB twin: same segmentation (string_split(' '), 1-based inclusive
+    list slices), same global first-occurrence winner order (doc_id,
+    chunk_no), same space-joined reassembly; docs with zero surviving
+    chunks drop out of the GROUP BY."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM ({NOISY_DOCUMENTS_SQL})),
+c AS (
+  SELECT doc_id, i AS chunk_no,
+         array_to_string(
+           words[(i-1)*{chunk_words}+1 : least(i*{chunk_words}, len(words))],
+           ' ') AS chunk
+  FROM w, unnest(generate_series(
+        1, CAST(ceil(len(words)/{chunk_words}.0) AS BIGINT))) AS s(i)),
+win AS (
+  SELECT doc_id, chunk_no, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_no) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
+  FROM c)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_no) AS text_clean,
+       COUNT(*) AS n_kept,
+       ANY_VALUE(n_chunks) - COUNT(*) AS n_dropped
+FROM win WHERE rn = 1
+GROUP BY doc_id
+"""

@@ -99,6 +99,41 @@ class TestQualityFilter:
         assert bool(got["kept"][0]) and not got["kept"][1:].any()
 
 
+class TestChunkDedup:
+    def test_matches_oracle(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        got = textops.chunk_dedup("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = con.execute(textops.chunk_dedup_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(want)
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["text_clean"]) == list(want["text_clean"])
+        assert list(got["n_kept"]) == list(want["n_kept"])
+        assert list(got["n_dropped"]) == list(want["n_dropped"])
+
+    def test_exact_dup_docs_collapse(self, ray_session):
+        """Injected exact-copy docs (doc_id+1_000_000) lose every chunk to
+        the original and disappear; their originals keep all chunks."""
+        from posm_ray.pipelines import textops
+
+        df = textops.chunk_dedup("/root/testdata/sf0.001").to_pandas()
+        ids = set(df["doc_id"])
+        originals = {d for d in ids if d < 1_000_000
+                     and d % textops.EXACT_DUP_MOD == 0}
+        assert originals  # fixture has exact dups
+        for d in originals:
+            assert d + 1_000_000 not in ids
+        assert (df["n_dropped"] >= 0).all()
+        assert df["n_dropped"].sum() > 0
+
+
 class TestRasterToVector:
     def test_threshold_keeps_mega_pixel(self, ray_session):
         """At threshold 2 on sf0.001 only the mega-cell pixel (20% of all
