@@ -664,6 +664,92 @@ def chunk_dedup(sf_dir: str, *, chunk_words: int = CHUNK_WORDS,
     return hash_rollup(kept, ["doc_id"], reassemble, npartitions=npartitions)
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap flagging)
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 10       # doc_id % 10 == EVAL_REM -> held-out "benchmark" doc
+EVAL_REM = 3
+DECON_NGRAM = 5     # word 5-grams
+
+
+def decontaminate(sf_dir: str, *, width: int = DECON_NGRAM):
+    """Training-data decontamination: flag corpus documents sharing any
+    word ``width``-gram with a held-out benchmark set (docs with
+    ``doc_id % EVAL_MOD == EVAL_REM``). Returns (doc_id, n_hits) for
+    contaminated corpus docs — n_hits = count of DISTINCT shared grams.
+
+    Scale shape: the benchmark side is small by nature (eval suites are
+    thousands of docs), so its distinct gram-hash set is collected once,
+    sorted, and broadcast via ``ray.put``; the corpus streams through one
+    ``map_batches`` doing a vectorized ``searchsorted`` membership count
+    per doc. No shuffle at all — the big side never moves.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions import hashing
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = b.filter(pa.array(did % EVAL_MOD == EVAL_REM))
+        hs = [hashing.shingles(t, width) for t in sel.column("text").to_pylist()]
+        flat = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pa.table({"gram": pa.array(flat, pa.int64())})
+
+    # small side: distinct gram hashes of the eval set -> driver -> broadcast
+    gram_rows = docs.map_batches(eval_grams, batch_format="pyarrow").take_all()
+    bench = np.unique(np.array([r["gram"] for r in gram_rows], dtype=np.int64))
+    bench_ref = ray.put(bench)
+
+    def flag(b: pa.Table, *, bref=bench_ref) -> pa.Table:
+        grams_sorted = bref if isinstance(bref, np.ndarray) else ray.get(bref)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = did % EVAL_MOD != EVAL_REM
+        sel = b.filter(pa.array(keep))
+        out_id, out_n = [], []
+        for d, t in zip(sel.column("doc_id").to_pylist(),
+                        sel.column("text").to_pylist()):
+            g = np.unique(hashing.shingles(t, width))
+            idx = np.searchsorted(grams_sorted, g)
+            idx[idx >= len(grams_sorted)] = 0
+            n = int((grams_sorted[idx] == g).sum()) if len(grams_sorted) else 0
+            if n > 0:
+                out_id.append(d)
+                out_n.append(n)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_hits": pa.array(out_n, pa.int64())})
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def decontaminate_sql(width: int = DECON_NGRAM) -> str:
+    """DuckDB twin: same tokenization as ``hashing.shingles`` (whitespace
+    split, empty tokens dropped), same short-doc fallback (whole text as
+    one gram), DISTINCT-gram hit counts, eval docs excluded from output."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(words[i : least(i+{width - 1}, len(words))], ' ') AS gram
+  FROM w, unnest(generate_series(
+        1, greatest(len(words) - {width - 1}, 1))) AS s(i)),
+bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+corpus AS (
+  SELECT DISTINCT doc_id, gram FROM g
+  WHERE doc_id % {EVAL_MOD} <> {EVAL_REM})
+SELECT c.doc_id, COUNT(*) AS n_hits
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
 def chunk_dedup_sql(chunk_words: int = CHUNK_WORDS) -> str:
     """DuckDB twin: same segmentation (string_split(' '), 1-based inclusive
     list slices), same global first-occurrence winner order (doc_id,

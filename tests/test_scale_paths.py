@@ -134,6 +134,50 @@ class TestChunkDedup:
         assert df["n_dropped"].sum() > 0
 
 
+class TestDecontaminate:
+    def test_matches_oracle(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        got = textops.decontaminate("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = con.execute(textops.decontaminate_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["n_hits"]) == list(want["n_hits"])
+
+    def test_planted_contamination(self, ray_session):
+        """A corpus doc that verbatim-copies an eval doc's text must be
+        flagged with every one of its distinct grams hitting."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from posm_ray.functions import hashing
+        from posm_ray.pipelines import textops
+
+        ev = textops.EVAL_REM          # eval doc id
+        copy_id = ev + textops.EVAL_MOD + 1  # corpus doc (rem != EVAL_REM)
+        clean_id = ev + 2 * textops.EVAL_MOD + 2
+        eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+        with tempfile.TemporaryDirectory(dir="/tmp") as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array([ev, copy_id, clean_id], pa.int64()),
+                "text": pa.array([eval_text, eval_text,
+                                  "one two three four five six"], pa.string()),
+            }), f"{d}/documents.parquet")
+            df = textops.decontaminate(d).to_pandas()
+        assert list(df["doc_id"]) == [copy_id]
+        n_grams = len(np.unique(hashing.shingles(eval_text, textops.DECON_NGRAM)))
+        assert list(df["n_hits"]) == [n_grams]
+
+
 class TestRasterToVector:
     def test_threshold_keeps_mega_pixel(self, ray_session):
         """At threshold 2 on sf0.001 only the mega-cell pixel (20% of all
