@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "type_revenue": relational.type_revenue,
         "doc_sample": relational.doc_sample,
+        "stratified_sample": relational.stratified_sample,
         "raster_tiles": _q_raster_tiles,
         "raster_vectorize": _q_raster_vectorize,
         "knn_geo_sharded": _q_knn_sharded,
@@ -1116,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
             "posm_ray.pipelines.events", fromlist=["x"]).SLIDING_WINDOW_SQL,
         "type_revenue": relational.TYPE_REVENUE_SQL,
         "doc_sample": relational.DOC_SAMPLE_SQL,
+        "stratified_sample": relational.stratified_sample_sql(),
         "knn_geo": _knn_geo_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "lang_quality": textops.lang_quality_sql(),

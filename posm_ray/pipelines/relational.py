@@ -392,3 +392,51 @@ DOC_SAMPLE_SQL = """
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 2654435761) % 100 < 10
 """
+
+
+STRATA_N = 20
+_STRATA_KEY_MOD = 1 << 31
+
+
+def stratified_sample(sf_dir: str, n_per_lang: int = STRATA_N):
+    """Deterministic stratified sampling for training-data mixing: the
+    first ``n_per_lang`` docs per language in pseudo-random hash order
+    (key = doc_id * 2654435761 mod 2^31, tie-broken by doc_id). Exact
+    integer arithmetic on both sides, so rank-exact vs the SQL twin.
+
+    Scale shape: per-block partial top-N per lang (vectorized lexsort +
+    groupby-head — a combiner, so at most langs x N rows leave each
+    block), then one bounded-cardinality merge task (`_merge_small`): the
+    exchange ships O(langs x N x blocks) rows no matter the corpus size."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        df = df.assign(key=(did * 2654435761) % _STRATA_KEY_MOD)
+        df = df.sort_values(["lang", "key", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(n_per_lang)
+
+    partials = ds.map_batches(topn, batch_format="pandas")
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = topn(t.to_pandas())
+        df["rank"] = df.groupby("lang", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(
+            df[["lang", "doc_id", "rank"]], preserve_index=False)
+
+    return _merge_small(partials, merge)
+
+
+def stratified_sample_sql(n_per_lang: int = STRATA_N) -> str:
+    return f"""
+SELECT lang, doc_id, rank FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % {_STRATA_KEY_MOD}, doc_id) AS rank
+  FROM documents)
+WHERE rank <= {n_per_lang}
+"""

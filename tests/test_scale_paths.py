@@ -178,6 +178,29 @@ class TestDecontaminate:
         assert list(df["n_hits"]) == [n_grams]
 
 
+class TestStratifiedSample:
+    def test_matches_oracle(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import relational
+
+        got = relational.stratified_sample("/root/testdata/sf0.001") \
+            .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = con.execute(relational.stratified_sample_sql()).df() \
+            .sort_values(["lang", "rank"]).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["rank"]) == list(want["rank"])
+        # every stratum capped at N, dense ranks from 1
+        per = got.groupby("lang")["rank"].agg(["min", "max", "size"])
+        assert (per["min"] == 1).all()
+        assert (per["max"] == per["size"]).all()
+        assert (per["size"] <= relational.STRATA_N).all()
+
+
 class TestRasterToVector:
     def test_threshold_keeps_mega_pixel(self, ray_session):
         """At threshold 2 on sf0.001 only the mega-cell pixel (20% of all
