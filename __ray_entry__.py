@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": textops.quality_filter,
         "chunk_dedup": textops.chunk_dedup,
         "decontaminate": textops.decontaminate,
+        "tfidf_terms": textops.tfidf_terms,
         "fingerprints": textops.fingerprints,
         "dedup_exact": textops.dedup_exact_winners,
         "dedup_exact_rows": textops.dedup_exact_surviving,
@@ -1096,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": textops.QUALITY_FILTER_SQL,
         "chunk_dedup": textops.chunk_dedup_sql(),
         "decontaminate": textops.decontaminate_sql(),
+        "tfidf_terms": textops.tfidf_terms_sql(),
         "fingerprints": textops.FINGERPRINTS_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "dedup_exact_rows": textops.DEDUP_EXACT_ROWS_SQL,

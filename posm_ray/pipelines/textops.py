@@ -665,6 +665,92 @@ def chunk_dedup(sf_dir: str, *, chunk_words: int = CHUNK_WORDS,
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF-style distinctive terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def tfidf_terms(sf_dir: str, k: int = TFIDF_K):
+    """Top-``k`` characteristic terms per document, ranked by (tf DESC,
+    df ASC, token ASC) — the TF-IDF ordering with exact integer keys
+    (ranking by tf*ln(N/df) floats would make the oracle libm-dependent;
+    the lexicographic (tf, -df) order ranks identically for fixed N).
+
+    Scale shape — TWO hash exchanges over an unbounded token key space:
+      1. per-doc tf rows (computed exactly in-block — a document is one
+         row) repartition by token; each partition holds ALL rows of its
+         tokens, so document frequency is a vectorized groupby-size
+         attach, no separate df table or join;
+      2. repartition by doc_id; vectorized sort + head(k) per doc.
+    """
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        out_id, out_tok, out_tf = [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            toks = [w for w in (txt or "").split(" ") if w]
+            if not toks:
+                continue
+            uniq, cnt = np.unique(np.array(toks, dtype=object),
+                                  return_counts=True)
+            out_id.extend([did] * len(uniq))
+            out_tok.extend(uniq.tolist())
+            out_tf.extend(cnt.tolist())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "token": pa.array(out_tok, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64())})
+
+    rows = docs.map_batches(tf_rows, batch_format="pyarrow")
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("token", sort=False)["doc_id"] \
+            .transform("size").astype(np.int64)
+        return g
+
+    with_df = hash_rollup(rows, ["token"], attach_df)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "token"], kind="mergesort")
+        g = g.sort_values(["doc_id", "tf", "df"], kind="mergesort",
+                          ascending=[True, False, True])
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g["rank"] = g["rank"].astype(np.int64)
+        return g[["doc_id", "token", "tf", "df", "rank"]]
+
+    return hash_rollup(with_df, ["doc_id"], topk)
+
+
+def tfidf_terms_sql(k: int = TFIDF_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
+       AS t(tok)),
+tf AS (
+  SELECT doc_id, tok AS token, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, tok),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+SELECT doc_id, token, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC)
+           AS rank
+  FROM tf JOIN df USING (token))
+WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (eval-set n-gram overlap flagging)
 # ---------------------------------------------------------------------------
 

@@ -201,6 +201,24 @@ class TestStratifiedSample:
         assert (per["size"] <= relational.STRATA_N).all()
 
 
+class TestTfidfTerms:
+    def test_matches_oracle(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        got = textops.tfidf_terms("/root/testdata/sf0.001").to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = con.execute(textops.tfidf_terms_sql()).df() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        for col in ["doc_id", "token", "tf", "df", "rank"]:
+            assert list(got[col]) == list(want[col]), col
+
+
 class TestRasterToVector:
     def test_threshold_keeps_mega_pixel(self, ray_session):
         """At threshold 2 on sf0.001 only the mega-cell pixel (20% of all
