@@ -545,16 +545,16 @@ def chunk_dedup(sf_dir: str, *, chunk_words: int = CHUNK_WORDS,
     whose every chunk is a duplicate disappear (the injected exact-dup docs
     collapse entirely; near-dups keep only their divergent tail chunk).
 
-    Scale shape — three streaming hash exchanges, nothing on the driver:
-      1. winner election: per-block Arrow group-min of packed (doc_id,
-         chunk_no) per chunk hash (combiner), then `hash_rollup` on
-         chunk_hash — only (hash, ord) pairs move;
-      2. tagged-union co-partition of chunk rows with winners on
-         chunk_hash, vectorized keep of rows whose packed ord == winner;
-      3. `hash_rollup` on doc_id reassembles kept chunks (sort by
+    Scale shape — TWO streaming hash exchanges, nothing on the driver:
+      1. `hash_rollup` on chunk_hash: every occurrence of a chunk lands in
+         the same partition, so the global winner (min packed (doc_id,
+         chunk_no)) is a LOCAL groupby-min and the keep filter happens in
+         the same merge — no separate winner table, no second pass over
+         the corpus (same single-exchange shape as `dedup_exact_rows`);
+      2. `hash_rollup` on doc_id reassembles kept chunks (sort by
          chunk_no, single join) and counts kept/dropped.
-    The chunk text crosses the wire once (exchange 2); exchange 1 and 3
-    move only ids/hashes and the surviving text respectively.
+    Chunk text crosses the wire once per exchange; no mid-pipeline
+    materialization.
     """
     from ..functions import hashing
     from ..util import hash_rollup
@@ -584,69 +584,17 @@ def chunk_dedup(sf_dir: str, *, chunk_words: int = CHUNK_WORDS,
             "n_chunks": pa.array(out_tot, pa.int64()),
         })
 
-    chunks = docs.map_batches(explode, batch_format="pyarrow").materialize()
-
-    shift = np.int64(1 << _CHUNK_NO_BITS)
-
-    def partial_winners(b: pa.Table) -> pa.Table:
-        ordv = pc.add(pc.multiply(b["doc_id"], pa.scalar(shift, pa.int64())),
-                      b["chunk_no"])
-        t = pa.table({"chunk_hash": b["chunk_hash"], "ord": ordv})
-        g = pa.TableGroupBy(t, ["chunk_hash"]).aggregate([("ord", "min")])
-        return g.rename_columns(["chunk_hash", "win_ord"])
-
-    def merge_winners(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, ["chunk_hash"]).aggregate([("win_ord", "min")])
-        return g.rename_columns(["chunk_hash", "win_ord"])
-
-    winners = hash_rollup(
-        chunks.map_batches(partial_winners, batch_format="pyarrow"),
-        ["chunk_hash"], merge_winners, npartitions=npartitions,
-        batch_format="pyarrow")
-
-    # exchange 2: tagged union co-partition on chunk_hash, keep winners only
-    def tag_chunks(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "chunk_hash": b["chunk_hash"],
-            "doc_id": b["doc_id"],
-            "chunk_no": b["chunk_no"],
-            "chunk": b["chunk"],
-            "n_chunks": b["n_chunks"],
-            "win_ord": pa.nulls(b.num_rows, pa.int64()),
-            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-        })
-
-    def tag_winners(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table({
-            "chunk_hash": b["chunk_hash"],
-            "doc_id": pa.nulls(n, pa.int64()),
-            "chunk_no": pa.nulls(n, pa.int64()),
-            "chunk": pa.nulls(n, pa.string()),
-            "n_chunks": pa.nulls(n, pa.int64()),
-            "win_ord": b["win_ord"],
-            "side": pa.array(np.ones(n, dtype=np.int8)),
-        })
-
-    tagged = chunks.map_batches(tag_chunks, batch_format="pyarrow").union(
-        winners.map_batches(tag_winners, batch_format="pyarrow"))
+    chunks = docs.map_batches(explode, batch_format="pyarrow")
 
     def keep_winning(g: pd.DataFrame) -> pd.DataFrame:
-        wmap = dict(zip(g.loc[g["side"] == 1, "chunk_hash"],
-                        g.loc[g["side"] == 1, "win_ord"]))
-        c = g[g["side"] == 0]
-        ordv = (c["doc_id"].to_numpy(dtype=np.int64) << _CHUNK_NO_BITS) \
-            + c["chunk_no"].to_numpy(dtype=np.int64)
-        win = c["chunk_hash"].map(wmap).to_numpy(dtype=np.int64)
-        kept = c[ordv == win]
-        return pd.DataFrame({
-            "doc_id": kept["doc_id"].astype(np.int64),
-            "chunk_no": kept["chunk_no"].astype(np.int64),
-            "chunk": kept["chunk"],
-            "n_chunks": kept["n_chunks"].astype(np.int64),
-        })
+        ordv = (g["doc_id"].to_numpy(dtype=np.int64) << _CHUNK_NO_BITS) \
+            + g["chunk_no"].to_numpy(dtype=np.int64)
+        g = g.assign(ord=ordv)
+        win = g.groupby("chunk_hash", sort=False)["ord"].transform("min")
+        kept = g[g["ord"] == win]
+        return kept[["doc_id", "chunk_no", "chunk", "n_chunks"]]
 
-    kept = hash_rollup(tagged, ["chunk_hash"], keep_winning,
+    kept = hash_rollup(chunks, ["chunk_hash"], keep_winning,
                        npartitions=npartitions)
 
     # exchange 3: reassemble per doc
