@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_revenue": relational.type_revenue,
         "doc_sample": relational.doc_sample,
         "stratified_sample": relational.stratified_sample,
+        "bloom_unseen": _q_bloom_unseen,
         "raster_tiles": _q_raster_tiles,
         "raster_vectorize": _q_raster_vectorize,
         "knn_geo_sharded": _q_knn_sharded,
@@ -268,6 +269,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_domains": _q_hll_domains,
         "topology_arcs": _q_topology_arcs,
     }
+
+
+BLOOM_SEEN_MOD = 3
+
+
+def _q_bloom_unseen(sf_dir: str):
+    """Crawl-frontier dedup: urls never seen before, via a distributed
+    Bloom prefilter + exact co-partitioned confirm (stages/bloom.py) —
+    exact for any bitmap size, oracle twin is a plain NOT IN anti-join."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from posm_ray.stages import bloom
+
+    def with_url(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "url": pa.array(synth.derive_url(did), pa.string()),
+        })
+
+    def read_pages_urls():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"]) \
+            .map_batches(with_url, batch_format="pyarrow")
+
+    def seen_only(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % BLOOM_SEEN_MOD == 0))
+
+    new_ds = read_pages_urls()
+    seen_ds = read_pages_urls().map_batches(seen_only, batch_format="pyarrow")
+    return bloom.bloom_unseen(new_ds, seen_ds)
+
+
+def _bloom_unseen_sql() -> str:
+    return f"""
+WITH pages AS (SELECT doc_id, {synth.url_sql()} AS url FROM documents)
+SELECT doc_id, url FROM pages
+WHERE url NOT IN (SELECT url FROM pages WHERE doc_id % {BLOOM_SEEN_MOD} = 0)
+"""
 
 
 def _q_hll_domains(sf_dir: str):
@@ -1120,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "type_revenue": relational.TYPE_REVENUE_SQL,
         "doc_sample": relational.DOC_SAMPLE_SQL,
         "stratified_sample": relational.stratified_sample_sql(),
+        "bloom_unseen": _bloom_unseen_sql(),
         "knn_geo": _knn_geo_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "lang_quality": textops.lang_quality_sql(),

@@ -127,6 +127,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("chunk_dedup", lambda: textops.chunk_dedup(sf_dir))
     timed("decontaminate", lambda: textops.decontaminate(sf_dir))
     timed("tfidf_terms", lambda: textops.tfidf_terms(sf_dir))
+    timed("bloom_unseen", lambda: qs["bloom_unseen"](sf_dir))
     timed("dedup_exact", lambda: textops.dedup_exact_winners(sf_dir))
     timed("dedup_exact_rows", lambda: textops.dedup_exact_surviving(sf_dir))
     timed("drill_down", lambda: qs["drill_down"](sf_dir))
