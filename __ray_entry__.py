@@ -1164,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": relational.DOC_SAMPLE_SQL,
         "stratified_sample": relational.stratified_sample_sql(),
         "bloom_unseen": _bloom_unseen_sql(),
+        "rolling_fingerprints": textops.rolling_fingerprints_sql(),
         "knn_geo": _knn_geo_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "lang_quality": textops.lang_quality_sql(),

@@ -225,8 +225,11 @@ FROM best
 
 
 def rolling_fingerprints(sf_dir: str):
-    """Karp-Rabin winnowing fingerprint per doc (rows-only — the rolling
-    modular hash is not SQL-expressible)."""
+    """Karp-Rabin winnowing fingerprint per doc. Oracle-exact: the rolling
+    recurrence is position-decomposable (window hash = Σ byte·257^(W-1-j)
+    mod 2^61), so the SQL twin computes each window hash directly from a
+    16-row power table — see ``rolling_fingerprints_sql`` (byte==ord(char)
+    holds because the corpus is ASCII; HUGEINT keeps the products exact)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -241,6 +244,38 @@ def rolling_fingerprints(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprints_sql(window: int = 16, mod: int = 1 << 61) -> str:
+    """DuckDB twin of ``functions.text.rolling_fingerprint``: min over all
+    ``window``-byte Karp-Rabin hashes, short docs hashed whole. Exact
+    integer arithmetic via HUGEINT with the same mod-2^61 reduction; the
+    rolling form and the direct power-sum form are algebraically equal."""
+    w = window
+    pows = [pow(257, w - 1 - j, mod) for j in range(w)]
+    ptable = ", ".join(f"({j}, {pows[j]}::HUGEINT)" for j in range(w))
+    return f"""
+WITH p AS (SELECT * FROM (VALUES {ptable}) AS t(j, pw)),
+d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+long AS (
+  SELECT d.doc_id, s.i,
+         (SUM((ord(substr(d.text, s.i + p.j, 1))::HUGEINT * p.pw) % {mod}))
+           % {mod} AS h
+  FROM d, unnest(generate_series(1, d.n - {w} + 1)) AS s(i), p
+  WHERE d.n >= {w}
+  GROUP BY d.doc_id, s.i),
+long_min AS (SELECT doc_id, MIN(h) AS fingerprint FROM long GROUP BY doc_id),
+short AS (
+  SELECT d.doc_id,
+         COALESCE((SUM((ord(substr(d.text, p.j - ({w} - d.n) + 1, 1))::HUGEINT
+                        * p.pw) % {mod})) % {mod}, 0) AS fingerprint
+  FROM d LEFT JOIN p ON p.j >= {w} - d.n
+  WHERE d.n < {w}
+  GROUP BY d.doc_id)
+SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint FROM long_min
+UNION ALL
+SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint FROM short
+"""
 
 
 def minhash_verified_pairs(sf_dir: str, *, threshold: float = 0.35):

@@ -115,6 +115,25 @@ class TestTextAnalysis:
     def test_bpe_ish(self):
         assert text.bpe_ish_token_count("hello world42!") == 4
 
+    def test_rolling_fingerprint_sql_twin(self):
+        """The power-sum DuckDB twin equals the Horner rolling kernel on
+        every length class: empty, sub-window, exactly-window, long."""
+        import duckdb
+        import pyarrow as pa
+
+        from posm_ray.pipelines.textops import rolling_fingerprints_sql
+
+        samples = ["", "a", "short", "0123456789abcdef",
+                   "the quick brown fox jumps over the lazy dog",
+                   "x" * 100]
+        con = duckdb.connect()
+        con.register("documents", pa.table({
+            "doc_id": list(range(len(samples))), "text": samples}))
+        got = dict(con.execute(rolling_fingerprints_sql()).fetchall())
+        expected = {i: text.rolling_fingerprint(s)
+                    for i, s in enumerate(samples)}
+        assert got == expected
+
 
 class TestHashing:
     def test_minhash_similar_texts_agree_more(self):
