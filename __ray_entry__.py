@@ -430,9 +430,11 @@ FROM g
 
 
 def _q_knn_sharded(sf_dir: str):
-    """All-pairs kNN via the sharded+halo path over every document point
-    (rows-only: trig; exactness within one shard width is pytest-pinned
-    vs brute force)."""
+    """All-pairs kNN via the sharded+halo path over every document point.
+    Oracle-exact: the halo semantics (candidates within +-1 res-2 cell,
+    longitude-wrapped) translate directly to a SQL join condition — see
+    _knn_sharded_sql; exactness within one shard width is also
+    pytest-pinned vs brute force."""
     import pyarrow as pa
 
     import ray.data as rd
@@ -1087,6 +1089,44 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _knn_sharded_sql() -> str:
+    """DuckDB twin of _q_knn_sharded. The sharded+halo semantics translate
+    exactly to SQL: query q (owned by its home res-2 cell) sees candidate p
+    iff q's cell is in p's 3x3 halo, i.e. their cell indices differ by <=1
+    (longitude wraps mod nx; the pole clamp only collapses duplicate halo
+    shards, never widens the +-1 band). Ranking is (dist, neighbor_id) —
+    the Ray side pre-sorts candidates by id and stable-argsorts distance,
+    which is the same order. Only (query_id, neighbor_id, rank) compared."""
+    nx, ny = 1 << 9, 1 << 8  # cells.ncols(2), cells.nrows(2)
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {synth.lat_sql()} AS lat, {synth.lon_sql()} AS lon
+  FROM documents),
+cells AS (
+  SELECT doc_id, lat, lon,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {nx})
+               AS BIGINT), 0), {nx - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {ny})
+               AS BIGINT), 0), {ny - 1}) AS iy
+  FROM pts),
+d AS (
+  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+         2.0 * 6371000.0 * ASIN(SQRT(
+           POW(SIN((RADIANS(p.lat) - RADIANS(q.lat)) / 2.0), 2)
+           + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))
+             * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2))) AS dist
+  FROM cells q JOIN cells p
+    ON p.doc_id <> q.doc_id
+   AND LEAST((p.ix - q.ix + {nx}) % {nx}, (q.ix - p.ix + {nx}) % {nx}) <= 1
+   AND ABS(p.iy - q.iy) <= 1)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM d) WHERE rank <= 3
+"""
+
+
 def _ann_cosine_sql() -> str:
     """DuckDB twin of _q_ann_cosine: list_cosine_similarity ranking with
     (cosine DESC, neighbor_id) — ids+rank compared, float column dropped."""
@@ -1166,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_unseen": _bloom_unseen_sql(),
         "rolling_fingerprints": textops.rolling_fingerprints_sql(),
         "knn_geo": _knn_geo_sql(),
+        "knn_geo_sharded": _knn_sharded_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "lang_quality": textops.lang_quality_sql(),
         "boundary_hierarchy": _boundary_hierarchy_sql(),
@@ -1182,11 +1223,10 @@ def oracle_sql() -> dict[str, str]:
         "raster_vectorize": _raster_vectorize_sql(),
         "s2_covering": _s2_covering_sql(),
         "media_resize": _media_resize_sql(),
-        # Intentionally omitted (rows-only checks): minhash_* / simhash /
-        # rolling_fingerprints (hash pipelines not SQL-expressible),
-        # ann_cosine_lsh / ann_cosine_ivf / embedding_dups_lsh
-        # (approximate-by-design), media_embed (float vectors),
-        # poly_export / topology_arcs (geometry-valued; golden/pytest
-        # pinned), resumable_tiles (layout-dependent manifests),
-        # approx_distinct_domains (sketch).
+        # Intentionally omitted (rows-only checks): minhash_* / simhash
+        # (hash pipelines not SQL-expressible), ann_cosine_lsh /
+        # ann_cosine_ivf / embedding_dups_lsh (approximate-by-design),
+        # media_embed (float vectors), poly_export / topology_arcs
+        # (geometry-valued; golden/pytest pinned), resumable_tiles
+        # (layout-dependent manifests), approx_distinct_domains (sketch).
     }
