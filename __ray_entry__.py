@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         # text / training-data ops
         "token_counts": textops.token_counts,
+        "pii_redact": textops.pii_redact,
+        "repetition_stats": textops.repetition_stats,
         "quality_scores": textops.quality_scores,
         "quality_filter": textops.quality_filter,
         "chunk_dedup": textops.chunk_dedup,
@@ -1176,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority": relational.ORDER_PRIORITY_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
+        "pii_redact": textops.PII_REDACT_SQL,
+        "repetition_stats": textops.REPETITION_STATS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "quality_filter": textops.QUALITY_FILTER_SQL,
         "chunk_dedup": textops.chunk_dedup_sql(),

@@ -848,3 +848,167 @@ SELECT doc_id,
 FROM win WHERE rn = 1
 GROUP BY doc_id
 """
+
+
+# --- PII redaction -----------------------------------------------------------
+# The driver corpus contains no PII, so the query deterministically augments
+# the text IDENTICALLY on both sides (the established noisy_documents /
+# media-table pattern) before detecting and redacting. Patterns are chosen to
+# mean the same thing under python `re` and DuckDB's RE2.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_EMAIL_MOD = 4   # doc_id % 4 == 0 -> synthetic email appended
+PII_PHONE_MOD = 6   # doc_id % 6 == 0 -> synthetic phone appended
+
+
+def pii_redact(sf_dir: str):
+    """Detect + redact PII (emails, phone numbers) per document.
+
+    Returns (doc_id, n_emails, n_phones, text_redacted) with emails replaced
+    by ``[EMAIL]`` and phones by ``[PHONE]`` (email pass first, patterns are
+    disjoint). Scale shape: a single stateless ``map_batches`` over zero-copy
+    Arrow — module-level compiled regexes, pandas vectorized ``str.count`` /
+    ``str.replace`` per batch, no shuffle, no driver materialization. At
+    10^12 docs this streams block-by-block like ``quality_scores``.
+
+    Reference analogue: the decode/sanitize gate of exposm's text pipeline
+    (extractor/exposm/utils.py:38-60 cleans names before persisting); here
+    generalized to corpus-scale PII scrubbing for LLM training data.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = pd.Series(batch.column("text").to_pylist())
+        email_aug = pd.Series(
+            np.where(did % PII_EMAIL_MOD == 0,
+                     [" Contact user%d@example.com today." % d for d in did],
+                     ""))
+        phone_aug = pd.Series(
+            np.where(did % PII_PHONE_MOD == 0,
+                     [" Call 555-010-%04d now." % (d % 10000) for d in did],
+                     ""))
+        s = s + email_aug + phone_aug
+        n_emails = s.str.count(PII_EMAIL_RE).astype("int64")
+        n_phones = s.str.count(PII_PHONE_RE).astype("int64")
+        red = (s.str.replace(PII_EMAIL_RE, "[EMAIL]", regex=True)
+                .str.replace(PII_PHONE_RE, "[PHONE]", regex=True))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_emails": pa.array(n_emails.to_numpy(), pa.int64()),
+            "n_phones": pa.array(n_phones.to_numpy(), pa.int64()),
+            "text_redacted": pa.array(red.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+            THEN ' Contact user' || doc_id || '@example.com today.' ELSE '' END
+    || CASE WHEN doc_id % {PII_PHONE_MOD} = 0
+            THEN ' Call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now.'
+            ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+  regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PII_PHONE_RE}', '[PHONE]', 'g') AS text_redacted
+FROM aug
+"""
+
+
+# --- Gopher-style repetition stats ------------------------------------------
+def repetition_stats(sf_dir: str):
+    """Per-doc repetition signals (Gopher-style quality filters): total and
+    distinct word counts plus the count of the most frequent word and the
+    most frequent word-bigram. All-integer output -> exact oracle twin.
+
+    Scale shape: repetition is a PER-DOCUMENT property, so everything is
+    local to the batch — explode words/bigrams into flat numpy arrays with a
+    doc-index vector, count with one pandas groupby (C hash aggregation),
+    max-reduce back per doc. No shuffle; the only per-row python is the
+    unavoidable ``str.split``.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        words_per = [[w for w in t.split(" ") if w] for t in texts]
+        lens = np.fromiter((len(w) for w in words_per), np.int64,
+                           count=len(words_per))
+        n = len(texts)
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for ws in words_per:
+            flat[pos:pos + len(ws)] = ws
+            pos += len(ws)
+        doc_idx = np.repeat(np.arange(n), lens)
+
+        n_words = lens
+        n_distinct = np.zeros(n, np.int64)
+        top_word = np.zeros(n, np.int64)
+        top_bigram = np.zeros(n, np.int64)
+        if len(flat):
+            wc = (pd.DataFrame({"i": doc_idx, "w": flat})
+                  .groupby(["i", "w"], sort=False).size())
+            per_doc = wc.groupby(level=0)
+            agg = per_doc.agg(["count", "max"])
+            n_distinct[agg.index.to_numpy()] = agg["count"].to_numpy()
+            top_word[agg.index.to_numpy()] = agg["max"].to_numpy()
+            same = doc_idx[:-1] == doc_idx[1:]
+            if same.any():
+                big = (pd.Series(flat[:-1][same]) + " "
+                       + pd.Series(flat[1:][same]))
+                bc = (pd.DataFrame({"i": doc_idx[:-1][same], "b": big.to_numpy()})
+                      .groupby(["i", "b"], sort=False).size())
+                bmax = bc.groupby(level=0).max()
+                top_bigram[bmax.index.to_numpy()] = bmax.to_numpy()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "top_word_n": pa.array(top_word, pa.int64()),
+            "top_bigram_n": pa.array(top_bigram, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+REPETITION_STATS_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS words
+  FROM documents),
+tok AS (
+  SELECT doc_id, words[i] AS w
+  FROM w, unnest(generate_series(1, len(words))) AS s(i)),
+big AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS b
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS s(i)),
+wc AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct_words,
+         MAX(c) AS top_word_n
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w)
+  GROUP BY doc_id),
+bc AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n
+  FROM (SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY doc_id, b)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(wc.n_words, 0)::BIGINT AS n_words,
+       COALESCE(wc.n_distinct_words, 0)::BIGINT AS n_distinct_words,
+       COALESCE(wc.top_word_n, 0)::BIGINT AS top_word_n,
+       COALESCE(bc.top_bigram_n, 0)::BIGINT AS top_bigram_n
+FROM documents d LEFT JOIN wc ON d.doc_id = wc.doc_id
+LEFT JOIN bc ON d.doc_id = bc.doc_id
+"""

@@ -208,3 +208,72 @@ class TestDecodeDoubleUtf8:
             ['Z\\xc3\\xbcrich', None, 'a"b', 'न\\xe0\\xa5\\x87'])
         assert got[0] == 'Zürich'
         assert got[2] == 'a"b'  # unparseable escape passes through
+
+
+class TestPiiRedact:
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        got = (textops.pii_redact("/root/testdata/sf0.001")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = (con.execute(textops.PII_REDACT_SQL + " ORDER BY doc_id").df()
+                .reset_index(drop=True))
+        assert got["n_emails"].tolist() == want["n_emails"].tolist()
+        assert got["n_phones"].tolist() == want["n_phones"].tolist()
+        assert got["text_redacted"].tolist() == want["text_redacted"].tolist()
+
+    def test_redaction_removes_all_pii(self, ray_session):
+        import re
+
+        from posm_ray.pipelines import textops
+
+        df = textops.pii_redact("/root/testdata/sf0.001").to_pandas()
+        em = re.compile(textops.PII_EMAIL_RE)
+        ph = re.compile(textops.PII_PHONE_RE)
+        assert (df["n_emails"] > 0).any() and (df["n_phones"] > 0).any()
+        for t in df["text_redacted"]:
+            assert not em.search(t) and not ph.search(t)
+
+
+class TestRepetitionStats:
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        got = (textops.repetition_stats("/root/testdata/sf0.001")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = (con.execute("SELECT * FROM (" + textops.REPETITION_STATS_SQL
+                            + ") ORDER BY doc_id").df().reset_index(drop=True))
+        for c in ("n_words", "n_distinct_words", "top_word_n", "top_bigram_n"):
+            assert got[c].tolist() == want[c].tolist(), c
+
+    def test_hand_cases(self):
+        import pyarrow.parquet as pq
+
+        from posm_ray.pipelines import textops
+
+        # run the batch kernel standalone on crafted rows (no Ray needed):
+        # reuse the operator's inner logic via a tiny fixture parquet.
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["the cat sat on the mat the cat",
+                              "a a a b", "one", ""]),
+        })
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+            df = (textops.repetition_stats(d).to_pandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert df["n_words"].tolist() == [8, 4, 1, 0]
+        assert df["n_distinct_words"].tolist() == [5, 2, 1, 0]
+        assert df["top_word_n"].tolist() == [3, 3, 1, 0]
+        assert df["top_bigram_n"].tolist() == [2, 2, 0, 0]
