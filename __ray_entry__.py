@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "minhash_clusters": _q_minhash_clusters,
         "approx_distinct_domains": _q_hll_domains,
+        "hll_register_sketch": _q_hll_registers,
         "topology_arcs": _q_topology_arcs,
     }
 
@@ -326,6 +327,38 @@ def _q_hll_domains(sf_dir: str):
         fs.join_rows(sf_dir, slim=True))
 
 
+def _q_hll_registers(sf_dir: str):
+    """Merged HLL register state (cell, register, rho) — the integer
+    sketch that actually ships between nodes; hash-exact vs the DuckDB
+    twin (splitmix64 replicated with 32-bit-split wrapping multiplies).
+    The float estimate on top stays in approx_distinct_domains."""
+    from posm_ray.pipelines import flagship as fs
+    from posm_ray.stages import tiles as tiles_stage
+
+    return tiles_stage.hll_registers(fs.join_rows(sf_dir, slim=True))
+
+
+def _hll_registers_sql() -> str:
+    from posm_ray.functions import hashing
+    from posm_ray.pipelines.textops import _mulw_sql
+
+    C0 = 0x9E3779B97F4A7C15  # same seed multiply as tiles._hll_partial
+    # HLL_BITS=6: register = top 6 bits, rest = low 58 bits << 6 | 63
+    return f"""
+WITH jr AS ({_join_rows_sql()}),
+dom AS (SELECT cell_r7 AS cell, (doc_id % {synth.N_DOMAINS})::UBIGINT AS d FROM jr),
+v0 AS (SELECT cell, {_mulw_sql('d', C0)} AS v FROM dom),
+v1 AS (SELECT cell, xor(v, v >> 30) AS v FROM v0),
+v2 AS (SELECT cell, {_mulw_sql('v', hashing.MIX_C1)} AS v FROM v1),
+v3 AS (SELECT cell, xor(v, v >> 27) AS v FROM v2),
+v4 AS (SELECT cell, {_mulw_sql('v', hashing.MIX_C2)} AS v FROM v3),
+v5 AS (SELECT cell, xor(v, v >> 31) AS v FROM v4)
+SELECT cell, (v >> 58)::BIGINT AS register,
+       max((65 - length(bin((v % 288230376151711744) * 64 + 63)))::BIGINT) AS rho
+FROM v5 GROUP BY cell, register
+"""
+
+
 def _q_media_resize(sf_dir: str):
     """Resize actor stage over opaque payloads; output dims are doc_id-
     derived, so the resize arithmetic is oracle-checked exactly."""
@@ -360,9 +393,10 @@ def _q_minhash_clusters(sf_dir: str):
     """End-to-end near-dup dedup: minhash-LSH candidates -> distributed
     exact-Jaccard verify -> DISTRIBUTED min-label propagation clustering
     (no driver union-find); (doc_id, cluster_rep) rows for every
-    non-representative member, sorted for row stability (rows-only —
-    minhash not SQL-expressible). Pytest pins equality with the driver
-    union-find on the same fixture."""
+    non-representative member, sorted for row stability.  Hash-exact vs
+    textops.minhash_clusters_sql() (recursive min-label reachability over
+    the same verified pairs). Pytest additionally pins equality with the
+    driver union-find on the same fixture."""
     from posm_ray.pipelines import textops
     from posm_ray.stages import dedup as dedup_stage
 
@@ -1193,6 +1227,10 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": textops.top_tokens_sql(),
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,
+        "minhash_near_dups": textops.minhash_near_dups_sql(),
+        "minhash_clusters": textops.minhash_clusters_sql(),
+        "simhash_near_dups": textops.simhash_near_dups_sql(),
+        "hll_register_sketch": _hll_registers_sql(),
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,
         "media_decode": _media_decode_sql(),
         "media_frames": _media_frames_sql(),

@@ -23,7 +23,10 @@ def _hash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingles(text: str, width: int = 5) -> np.ndarray:
-    """Word w-shingles hashed to int64 (blake2b 8-byte, stable across runs)."""
+    """Word w-shingles hashed to int64: first 8 bytes (big-endian) of
+    md5(gram), masked to 63 bits. md5 (not blake2b) so the DuckDB oracle
+    twins can replicate the value bit-for-bit:
+    ``('0x' || substr(md5(g), 1, 16))::UBIGINT % 2**63``."""
     words = text.split()
     if len(words) < width:
         grams = [" ".join(words)] if words else [""]
@@ -32,7 +35,7 @@ def shingles(text: str, width: int = 5) -> np.ndarray:
     out = np.empty(len(grams), dtype=np.uint64)
     for i, g in enumerate(grams):
         out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
+            hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
         )
     return out.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
 
@@ -81,17 +84,31 @@ def minhash_signature_batch(texts: list[str], num_perm: int = 64,
     return out
 
 
-def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
-    """Split a signature into ``bands`` bands; key = (band_id, band_hash).
-    Docs sharing any band key are near-dup candidates."""
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[tuple[int, str]]:
+    """Split a signature into ``bands`` bands; key = (band_id, band_hash)
+    where band_hash = md5 hex of the band's sig values comma-joined in
+    permutation order. Docs sharing any band key are near-dup candidates.
+    DuckDB twin: ``md5(string_agg(sig::VARCHAR, ',' ORDER BY perm))``."""
     num_perm = len(sig)
     rows = num_perm // bands
     keys = []
     for b in range(bands):
         chunk = sig[b * rows : (b + 1) * rows]
-        h = hash_bytes(chunk.tobytes())
+        h = hashlib.md5(",".join(str(int(v)) for v in chunk).encode()).hexdigest()
         keys.append((b, h))
     return keys
+
+
+# splitmix64 constants + seeds, exported so the DuckDB oracle twin can
+# inline the identical mixing pipeline (wrapping multiplies emulated with
+# 32-bit splits over HUGEINT — see textops.minhash_sig_sql).
+MIX_C1 = 0xBF58476D1CE4E5B9
+MIX_C2 = 0x94D049BB133111EB
+
+
+def mix_seeds(k: int) -> np.ndarray:
+    """Public alias of the deterministic per-permutation seed table."""
+    return _mix_seeds(k)
 
 
 def simhash(text: str, bits: int = 64) -> int:

@@ -278,7 +278,7 @@ SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint FROM short
 """
 
 
-def minhash_verified_pairs(sf_dir: str, *, threshold: float = 0.35):
+def minhash_verified_pairs(sf_dir: str, *, threshold: float = 0.35):  # = MINHASH_VERIFY_THRESHOLD
     """MinHash-LSH candidates -> DISTRIBUTED exact-Jaccard verify
     (dedup.verify_jaccard_pairs_distributed — co-partitioned pairs+texts,
     no driver materialization). Returns the verified-pairs Dataset."""
@@ -291,17 +291,21 @@ def minhash_verified_pairs(sf_dir: str, *, threshold: float = 0.35):
 def minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup pairs over the noisy corpus, Jaccard-verified.
     The pipeline is fully distributed; only the (small) verified-pair
-    RESULT is collected for the deterministic sorted return — rows-only
-    check (minhash is not SQL-expressible)."""
+    RESULT is collected for the deterministic sorted return.  Hash-exact
+    vs minhash_near_dups_sql(): the md5/splitmix64 family is replicated
+    bit-for-bit in the oracle, and jaccard = |A∩B|/|A∪B| is the same
+    int/int float64 division on both sides."""
     out = minhash_verified_pairs(sf_dir).to_pandas()[["a", "b", "jaccard"]]
-    out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def simhash_near_dups(sf_dir: str):
-    """SimHash hamming<=6 pairs over the noisy corpus (rows-only check)."""
+    """SimHash hamming<=6 pairs over the noisy corpus.  Hash-exact vs
+    simhash_near_dups_sql(): fingerprints, prefix buckets and the hamming
+    verify are replicated bit-for-bit in DuckDB."""
     docs = noisy_documents(sf_dir)
-    return dedup_stage.simhash_pairs(docs, max_hamming=6)
+    return dedup_stage.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING,
+                                     prefix_bits=SIMHASH_PREFIX_BITS)
 
 
 NGRAM_SUBSET_MAX = 120       # base doc_id cap for the all-pairs subset
@@ -368,6 +372,157 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM sub x JOIN sub y ON x.doc_id < y.doc_id
 WHERE len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g))
       >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact DuckDB twin of the full MinHash-LSH near-dup pipeline.
+#
+# The whole chain is SQL-expressible because the hash family is chosen for
+# it (functions/hashing.py): gram hash = first 8 bytes of md5 masked to 63
+# bits; per-permutation hash = splitmix64(gram ^ seed_p) with the wrapping
+# 64-bit multiplies emulated via 32-bit splits over HUGEINT; LSH band key =
+# md5 of the band's signature values comma-joined.  Seeds/constants are
+# inlined at SQL-build time from the same tables numpy uses.
+# ---------------------------------------------------------------------------
+
+MINHASH_NUM_PERM = 64
+MINHASH_BANDS = 16
+MINHASH_SHINGLE_W = 5
+MINHASH_VERIFY_THRESHOLD = 0.35
+
+
+def _mulw_sql(x: str, c: int) -> str:
+    """SQL expression for the 64-bit WRAPPING multiply ``(x * c) mod 2^64``
+    of UBIGINT column ``x`` by constant ``c``.  DuckDB's UBIGINT multiply
+    errors on overflow, so split into 32-bit halves over HUGEINT:
+    lo*cl + ((lo*ch + hi*cl) mod 2^32) << 32, all mod 2^64."""
+    cl, ch = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"CAST((CAST(({x}) % 4294967296 AS HUGEINT) * {cl} + "
+        f"((CAST(({x}) % 4294967296 AS HUGEINT) * {ch} + "
+        f"CAST(({x}) // 4294967296 AS HUGEINT) * {cl}) % 4294967296) "
+        f"* 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _minhash_verified_sql(order_by: str = "") -> str:
+    """Shared CTE chain: noisy corpus -> word shingles -> md5 gram hashes
+    -> splitmix64 permutation mins -> LSH bands -> candidate pairs ->
+    exact char-5-gram Jaccard verify.  Mirrors _MinHashBands +
+    verify_jaccard_pairs_distributed value-for-value."""
+    from ..functions import hashing
+
+    seeds = hashing.mix_seeds(MINHASH_NUM_PERM)
+    seed_rows = ", ".join(
+        f"({p}, {int(s)}::UBIGINT)" for p, s in enumerate(seeds))
+    w = MINHASH_SHINGLE_W
+    rows = MINHASH_NUM_PERM // MINHASH_BANDS
+    return f"""
+WITH noisy AS ({NOISY_DOCUMENTS_SQL}),
+wd AS (SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       FROM noisy),
+gr AS (SELECT doc_id,
+              CASE WHEN len(ws) < {w} THEN [coalesce(array_to_string(ws, ' '), '')]
+                   ELSE list_transform(range(1, len(ws) - {w - 2}),
+                                       i -> array_to_string(ws[i : i + {w - 1}], ' '))
+              END AS gs
+       FROM wd),
+gh AS (SELECT doc_id,
+              ('0x' || substr(md5(g), 1, 16))::UBIGINT % 9223372036854775808 AS h
+       FROM (SELECT doc_id, unnest(gs) AS g FROM gr)),
+seeds(p, s) AS (SELECT * FROM (VALUES {seed_rows})),
+m0 AS (SELECT doc_id, p, xor(h, s) AS v FROM gh CROSS JOIN seeds),
+m1 AS (SELECT doc_id, p, xor(v, v >> 30) AS v FROM m0),
+m2 AS (SELECT doc_id, p, {_mulw_sql('v', hashing.MIX_C1)} AS v FROM m1),
+m3 AS (SELECT doc_id, p, xor(v, v >> 27) AS v FROM m2),
+m4 AS (SELECT doc_id, p, {_mulw_sql('v', hashing.MIX_C2)} AS v FROM m3),
+m5 AS (SELECT doc_id, p, xor(v, v >> 31) AS v FROM m4),
+sig AS (SELECT doc_id, p, CAST(min(v) >> 1 AS BIGINT) AS sv
+        FROM m5 GROUP BY doc_id, p),
+band AS (SELECT doc_id, p // {rows} AS band_id,
+                md5(string_agg(sv::VARCHAR, ',' ORDER BY p)) AS bkey
+         FROM sig GROUP BY doc_id, p // {rows}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM band x JOIN band y
+           ON x.band_id = y.band_id AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+gsets AS (SELECT doc_id, {_NGRAM_SET_SQL} AS g FROM noisy)
+SELECT c.a, c.b,
+       len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g)) AS jaccard
+FROM cand c
+JOIN gsets x ON x.doc_id = c.a
+JOIN gsets y ON y.doc_id = c.b
+WHERE len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g))
+      >= {MINHASH_VERIFY_THRESHOLD}
+{order_by}
+"""
+
+
+def minhash_near_dups_sql() -> str:
+    return _minhash_verified_sql(order_by="ORDER BY a, b")
+
+
+SIMHASH_MAX_HAMMING = 6
+SIMHASH_PREFIX_BITS = 16
+
+
+def simhash_near_dups_sql() -> str:
+    """Exact DuckDB twin of dedup.simhash_pairs(max_hamming=6) at
+    ntables=1: word-2-shingle md5 hashes (multiset — duplicates vote),
+    per-bit majority vote fingerprint, bucket by the top 16 bits, and the
+    in-bucket hamming verify via bit_count(xor).  Replicates the BUCKETED
+    algorithm (pairs in different prefix buckets are not emitted), so the
+    oracle checks the algorithm's real output, not an all-pairs ideal."""
+    return f"""
+WITH noisy AS ({NOISY_DOCUMENTS_SQL}),
+wd AS (SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       FROM noisy),
+gr AS (SELECT doc_id,
+              CASE WHEN len(ws) < 2 THEN [coalesce(array_to_string(ws, ' '), '')]
+                   ELSE list_transform(range(1, len(ws)),
+                                       i -> array_to_string(ws[i : i + 1], ' '))
+              END AS gs
+       FROM wd),
+gh AS (SELECT doc_id,
+              ('0x' || substr(md5(g), 1, 16))::UBIGINT % 9223372036854775808 AS h
+       FROM (SELECT doc_id, unnest(gs) AS g FROM gr)),
+cnt AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+bits AS (SELECT doc_id, b, sum(((h >> b) & 1)::BIGINT) AS ones
+         FROM gh CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+         GROUP BY doc_id, b),
+fp AS (SELECT bits.doc_id,
+              bit_or(CASE WHEN 2 * ones > n THEN (1::UBIGINT << b)
+                          ELSE 0::UBIGINT END) AS f
+       FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id
+       GROUP BY bits.doc_id),
+bk AS (SELECT doc_id, f, f >> {64 - SIMHASH_PREFIX_BITS} AS bucket FROM fp)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.f, y.f))::BIGINT AS hamming
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.f, y.f)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY a, b
+"""
+
+
+def minhash_clusters_sql() -> str:
+    """Connected components over the verified pairs: recursive min-label
+    reachability (labels = min doc_id reachable), members only — the exact
+    output of dedup.near_dup_clusters_distributed."""
+    return f"""
+WITH RECURSIVE ver AS ({_minhash_verified_sql()}),
+edges AS (SELECT a AS x, b AS y FROM ver UNION ALL SELECT b, a FROM ver),
+nodes AS (SELECT DISTINCT x FROM edges),
+reach(x, lab) AS (
+    SELECT x, x FROM nodes
+    UNION
+    SELECT e.y, r.lab FROM reach r JOIN edges e ON e.x = r.x
+)
+SELECT x AS doc_id, min(lab) AS cluster_rep
+FROM reach GROUP BY x HAVING min(lab) < x
+ORDER BY doc_id
 """
 
 

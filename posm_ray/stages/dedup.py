@@ -109,7 +109,7 @@ class _MinHashBands:
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
+            "band_hash": pa.array(out_hash, pa.string()),
         })
 
 

@@ -226,6 +226,26 @@ def _hll_partial(batch: pa.Table, cell_col: str, bits: int) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def hll_registers(join_rows, cell_col: str = "cell_r7",
+                  bits: int = HLL_BITS):
+    """The merged HLL register state itself: (cell, register, rho) rows
+    after the per-block partials and ONE hash exchange on cell.  This is
+    the thing that actually moves at corpus scale (registers merge by MAX
+    and are tiny); the float estimate is a trivial final on top.  All
+    integer-valued, so the DuckDB twin replicates it bit-for-bit
+    (splitmix64 emulated via 32-bit-split wrapping multiplies)."""
+    from ..util import hash_rollup
+
+    partials = join_rows.map_batches(
+        lambda b: _hll_partial(b, cell_col, bits), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["cell", "register"], sort=False)["rho"].max() \
+            .reset_index(name="rho")
+
+    return hash_rollup(partials, ["cell"], merge)
+
+
 def approx_distinct_domains(join_rows, cell_col: str = "cell_r7",
                             bits: int = HLL_BITS):
     """Per-cell approximate distinct-domain count via a mergeable HLL-style

@@ -125,3 +125,43 @@ class TestPrepareOsmIdBothSet:
             pa.array(["1", None, "3"]),
             pa.array(["2", "4", None]))
         assert got.to_pylist() == [None, "W4", "R3"]
+
+
+class TestSqlExactTwins:
+    """Round-2: the md5/splitmix64 hash family makes the full minhash /
+    simhash / HLL chains SQL-expressible — pin bit-exact equality with the
+    DuckDB twins on the sf0.001 fixture (the driver re-checks at sf0.01)."""
+
+    def test_minhash_near_dups_sql_twin(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.minhash_near_dups(SF)
+        want = _con().execute(textops.minhash_near_dups_sql()).df()
+        assert len(got) == len(want) > 0
+        assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+        assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+        assert (got["jaccard"].to_numpy() == want["jaccard"].to_numpy()).all()
+
+    def test_minhash_clusters_sql_twin(self, ray_session):
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        verified = textops.minhash_verified_pairs(SF)
+        got = dedup.near_dup_clusters_distributed(verified).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = _con().execute(textops.minhash_clusters_sql()).df()
+        assert len(got) == len(want) > 0
+        assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+        assert (got["cluster_rep"].to_numpy()
+                == want["cluster_rep"].to_numpy()).all()
+
+    def test_simhash_sql_twin(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.simhash_near_dups(SF).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        want = _con().execute(textops.simhash_near_dups_sql()).df()
+        assert len(got) == len(want) > 0
+        assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+        assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+        assert (got["hamming"].to_numpy() == want["hamming"].to_numpy()).all()
