@@ -719,11 +719,62 @@ WHERE doc_id % 3 = 2
 
 
 def _q_media_embed(sf_dir: str):
-    """Media feature extraction (fake model: byte-hist random projection,
-    built once per actor) — rows-only check (float vectors)."""
+    """Media feature extraction (fake model: integer random projection of
+    the byte histogram, built once per actor).  Exploded to
+    (doc_id, d, value) integer rows so the DuckDB twin — which regenerates
+    the xorshift64 body via a recursive CTE and sums the inlined weight
+    table — hash-matches exactly."""
     from posm_ray.stages import multimodal as mm
 
-    return mm.media_embeddings(mm.media_table(sf_dir))
+    emb = mm.media_embeddings(mm.media_table(sf_dir))
+
+    def explode(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids_ = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mat = np.asarray(b.column("embedding").to_pylist(), dtype=np.int64)
+        n, dim = mat.shape if mat.size else (0, 0)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids_, dim), pa.int64()),
+            "d": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "value": pa.array(mat.ravel(), pa.int64()),
+        })
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
+def _media_embed_sql() -> str:
+    """Twin of MediaEmbed over media_table payloads: regenerate the
+    xorshift64 fake body (multimodal._body) with a recursive CTE, then
+    value[doc, d] = sum over body bytes of weight[byte, d] — the same
+    int64 arithmetic as hist @ proj."""
+    from posm_ray.stages.multimodal import media_embed_weights
+
+    wt = media_embed_weights()
+    wrows = ", ".join(f"({b}, {d}, {int(wt[b, d])})"
+                      for b in range(256) for d in range(wt.shape[1]))
+    return f"""
+WITH RECURSIVE st AS (
+  SELECT doc_id, 0 AS i,
+         (CASE WHEN (doc_id * 2654435761) % 9223372036854775808 = 0 THEN 1
+               ELSE (doc_id * 2654435761) % 9223372036854775808 END)::UBIGINT AS x,
+         256 + (doc_id % 7) * 64 AS blen
+  FROM documents
+  UNION ALL
+  SELECT doc_id, i + 1,
+         xor(x2, (x2 % 140737488355328) * 131072) AS x, blen
+  FROM (SELECT doc_id, i, blen, xor(x1, x1 >> 7) AS x2
+        FROM (SELECT doc_id, i, blen,
+                     xor(x, (x % 2251799813685248) * 8192) AS x1
+              FROM st WHERE i < blen))
+),
+bytes AS (SELECT doc_id, (x & 255)::BIGINT AS byte FROM st WHERE i >= 1),
+wt(b, d, w) AS (SELECT * FROM (VALUES {wrows}))
+SELECT bytes.doc_id, wt.d, SUM(wt.w)::BIGINT AS value
+FROM bytes JOIN wt ON wt.b = bytes.byte
+GROUP BY bytes.doc_id, wt.d
+"""
 
 
 def _boundary_levels():
@@ -1231,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": textops.minhash_clusters_sql(),
         "simhash_near_dups": textops.simhash_near_dups_sql(),
         "hll_register_sketch": _hll_registers_sql(),
+        "media_embed": _media_embed_sql(),
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,
         "media_decode": _media_decode_sql(),
         "media_frames": _media_frames_sql(),

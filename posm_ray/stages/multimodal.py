@@ -133,26 +133,36 @@ class MediaDecode:
 
 class MediaEmbed:
     """Feature-extraction actor (the batched-model-inference slot): payload
-    -> fixed-dim vector. Fake model = seeded random projection of the byte
-    histogram, built once per actor in __init__."""
+    -> fixed-dim vector. Fake model = seeded INTEGER random projection of
+    the byte histogram, built once per actor in __init__.  Integer weights
+    (randint [-8, 8]) keep hist @ proj exact in int64, so the embedding is
+    order-independent and the DuckDB oracle twin can replicate it
+    bit-for-bit (sum of weights over the regenerated xorshift body)."""
 
     def __init__(self, dim: int = 16, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.proj = rng.standard_normal((256, dim))
+        self.proj = rng.randint(-8, 9, size=(256, dim)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        vecs = np.zeros((len(payloads), self.proj.shape[1]))
+        vecs = np.zeros((len(payloads), self.proj.shape[1]), dtype=np.int64)
         for i, p in enumerate(payloads):
             if not p or len(p) <= HEADER_SIZE:
                 continue
             body = np.frombuffer(p, dtype=np.uint8, offset=HEADER_SIZE)
-            hist = np.bincount(body, minlength=256).astype(np.float64)
+            hist = np.bincount(body, minlength=256).astype(np.int64)
             vecs[i] = hist @ self.proj
         return pa.table({
             "doc_id": batch["doc_id"],
-            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            "embedding": pa.array(list(vecs), pa.list_(pa.int64())),
         })
+
+
+def media_embed_weights(dim: int = 16, seed: int = 42) -> np.ndarray:
+    """The (256, dim) integer weight table MediaEmbed uses — exported so
+    the oracle SQL builder can inline the identical values."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-8, 9, size=(256, dim)).astype(np.int64)
 
 
 def frame_sample(ds, every_k: int = 4):
