@@ -270,11 +270,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _q_minhash_clusters,
         "approx_distinct_domains": _q_hll_domains,
         "hll_register_sketch": _q_hll_registers,
+        "tile_pyramid": _q_tile_pyramid,
+        "surt_keys": _q_surt_keys,
         "topology_arcs": _q_topology_arcs,
     }
 
 
 BLOOM_SEEN_MOD = 3
+
+
+def _q_surt_keys(sf_dir: str):
+    """SURT url canonicalization (Heritrix/Common-Crawl convention:
+    scheme/userinfo/fragment dropped, host lowercased + dot-reversed,
+    default ports stripped, query params sorted) — the natural per-site
+    partitioning key for crawl curation.  Hash-exact vs the expression
+    twins in functions/urls.py; a pytest drives both sides over
+    adversarial URLs too."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from posm_ray.functions import urls as urlfn
+
+    def canon(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        us = synth.derive_url(did)
+        pairs = [urlfn.canonicalize(u) for u in us]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "host": pa.array([p[0] for p in pairs], pa.string()),
+            "surt": pa.array([p[1] for p in pairs], pa.string()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]) \
+        .map_batches(canon, batch_format="pyarrow")
+
+
+def _surt_keys_sql() -> str:
+    from posm_ray.functions import urls as urlfn
+
+    return f"""
+WITH pages AS (SELECT doc_id, {synth.url_sql()} AS url FROM documents),
+h0 AS (SELECT doc_id, url, {urlfn.surt_host_sql('url')} AS host FROM pages)
+SELECT doc_id, host, {urlfn.surt_sql('url', 'host')} AS surt FROM h0
+"""
 
 
 def _q_bloom_unseen(sf_dir: str):
@@ -325,6 +365,29 @@ def _q_hll_domains(sf_dir: str):
 
     return tiles_stage.approx_distinct_domains(
         fs.join_rows(sf_dir, slim=True))
+
+
+def _q_tile_pyramid(sf_dir: str):
+    """Hierarchical tile pyramid (res 9 -> 8 -> 7): raw rows shuffle ONCE
+    (pre-reduced at the finest res); coarser levels cascade from the finer
+    aggregate via cells.parent. Hash-exact vs direct per-res GROUP BYs in
+    DuckDB because hierarchical containment is exact (floor-division
+    commutes with the cell_id floor)."""
+    from posm_ray.pipelines import flagship as fs
+    from posm_ray.stages import tiles as tiles_stage
+
+    return tiles_stage.tile_pyramid(fs.join_rows(sf_dir, slim=True))
+
+
+def _tile_pyramid_sql() -> str:
+    return f"""
+WITH jr AS ({_join_rows_sql()})
+SELECT 9 AS res, cell_r9 AS cell, count(*) AS n_docs FROM jr GROUP BY cell_r9
+UNION ALL
+SELECT 8 AS res, cell_r8 AS cell, count(*) AS n_docs FROM jr GROUP BY cell_r8
+UNION ALL
+SELECT 7 AS res, cell_r7 AS cell, count(*) AS n_docs FROM jr GROUP BY cell_r7
+"""
 
 
 def _q_hll_registers(sf_dir: str):
@@ -1283,6 +1346,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": textops.simhash_near_dups_sql(),
         "hll_register_sketch": _hll_registers_sql(),
         "media_embed": _media_embed_sql(),
+        "tile_pyramid": _tile_pyramid_sql(),
+        "surt_keys": _surt_keys_sql(),
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,
         "media_decode": _media_decode_sql(),
         "media_frames": _media_frames_sql(),

@@ -283,3 +283,59 @@ def approx_distinct_domains(join_rows, cell_col: str = "cell_r7",
         })
 
     return hash_rollup(partials, ["cell"], merge)
+
+
+def tile_pyramid(join_rows, *, finest_col: str = "cell_r9",
+                 levels: tuple[int, ...] = (9, 8, 7)):
+    """Hierarchical tile pyramid: doc counts at every zoom level in ONE
+    cascade — the raw rows shuffle once (pre-reduced per block at the
+    finest res); each coarser level is derived from the FINER level's
+    already-tiny aggregate via cells.parent (exact containment: ix/iy
+    halve per step, and floor((x)/2**k) commutes with the cell_id floor,
+    so parent counts equal direct assignment at the coarser res).
+
+    At corpus scale this is the difference between 3 full shuffles of
+    raw rows (group at r9, r8, r7 separately) and 1 full + 2 sketch-size
+    exchanges.  Output: (res, cell, n_docs) for every level."""
+    from .. import cells as cellmod
+    from ..util import hash_rollup
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select([finest_col]),
+                            [finest_col]).aggregate([([], "count_all")])
+        return g.rename_columns(["cell", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["cell"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cell", "n"])
+
+    # each level aggregate is consumed TWICE (stamped into the output and
+    # lifted into the next-coarser rollup) — materialize the sketch-sized
+    # aggregate so the fan-out reads blocks instead of re-executing the
+    # upstream shuffle (an un-materialized hash-shuffle output referenced
+    # by two branches re-runs and pins the aggregator pool; see CLAUDE.md)
+    level = hash_rollup(
+        join_rows.map_batches(partial, batch_format="pyarrow"),
+        ["cell"], merge, batch_format="pyarrow").materialize()
+
+    def stamp(res: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "res": pa.array(np.full(b.num_rows, res, dtype=np.int64)),
+                "cell": b["cell"],
+                "n_docs": b["n"],
+            })
+        return fn
+
+    out = level.map_batches(stamp(levels[0]), batch_format="pyarrow")
+    for res in levels[1:]:
+        def lift(b: pa.Table, *, res=res) -> pa.Table:
+            p = cellmod.parent(
+                b.column("cell").to_numpy(zero_copy_only=False), res)
+            return pa.table({"cell": pa.array(p, pa.int64()), "n": b["n"]})
+
+        level = hash_rollup(
+            level.map_batches(lift, batch_format="pyarrow"),
+            ["cell"], merge, batch_format="pyarrow").materialize()
+        out = out.union(level.map_batches(stamp(res), batch_format="pyarrow"))
+    return out

@@ -281,3 +281,25 @@ class TestHllClz:
             cur = np.where(empty, cur, hi)
         want = [64 - x.bit_length() for x in vals]
         assert list(clz.astype(int)) == want
+
+
+class TestTilePyramid:
+    def test_levels_consistent(self, ray_session):
+        """Each coarser level's total equals the finest level's total, and
+        every r8 count is the sum of its r9 children (parent cascade)."""
+        import numpy as np
+
+        from posm_ray import cells
+        from posm_ray.pipelines import flagship as fs
+        from posm_ray.stages import tiles
+
+        out = tiles.tile_pyramid(
+            fs.join_rows("/root/testdata/sf0.001", slim=True)).to_pandas()
+        totals = out.groupby("res")["n_docs"].sum()
+        assert totals[7] == totals[8] == totals[9] > 0
+        r9 = out[out["res"] == 9]
+        lifted = r9.assign(
+            p=cells.parent(r9["cell"].to_numpy(), 8)) \
+            .groupby("p")["n_docs"].sum()
+        r8 = out[out["res"] == 8].set_index("cell")["n_docs"]
+        assert lifted.sort_index().equals(r8.sort_index())

@@ -277,3 +277,43 @@ class TestRepetitionStats:
         assert df["n_distinct_words"].tolist() == [5, 2, 1, 0]
         assert df["top_word_n"].tolist() == [3, 3, 1, 0]
         assert df["top_bigram_n"].tolist() == [2, 2, 0, 0]
+
+
+class TestSurtCanonicalize:
+    """functions/urls.py: Python canonicalizer and the DuckDB expression
+    twins must agree on adversarial URLs, not just the fixture shape."""
+
+    CASES = [
+        "https://example-3.test/page/17",
+        "http://User:pw@WWW.Example.COM:80/A/B?b=2&a=1#frag",
+        "https://host.test:443/",
+        "https://host.test:8443/x?z&&y=1",
+        "ftp://files.example.org/pub/file.txt",
+        "no-scheme.example/path?k=v",
+        "https://single/",
+        "",
+        "https://example.test/page?",
+    ]
+
+    def test_sql_twin_on_adversarial_urls(self):
+        import duckdb
+
+        from posm_ray.functions import urls
+
+        vals = ", ".join(
+            "('" + c.replace("'", "''") + "')" for c in self.CASES)
+        rows = duckdb.sql(f"""
+WITH u(url) AS (SELECT * FROM (VALUES {vals})),
+h0 AS (SELECT url, {urls.surt_host_sql('url')} AS h FROM u)
+SELECT url, h, {urls.surt_sql('url', 'h')} AS s FROM h0
+""").fetchall()
+        for url, h, s in rows:
+            assert (h, s) == urls.canonicalize(url), url
+
+    def test_sorts_query_and_strips_default_port(self):
+        from posm_ray.functions import urls
+
+        host, surt = urls.canonicalize(
+            "http://WWW.Site.COM:80/p?b=2&a=1#x")
+        assert host == "www.site.com"
+        assert surt == "com,site,www)/p?a=1&b=2"
