@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "noisy_documents": textops.noisy_documents,
         "quality_quartiles": textops.quality_quartiles,
         "top_tokens": textops.top_tokens,
+        "postings": textops.postings,
+        "percentile_gate": textops.percentile_gate,
+        "host_quota": textops.host_quota,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
         "lang_quality": textops.lang_quality,
@@ -272,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_register_sketch": _q_hll_registers,
         "tile_pyramid": _q_tile_pyramid,
         "surt_keys": _q_surt_keys,
+        "link_graph": _q_link_graph,
+        "pagerank_hosts": _q_pagerank_hosts,
         "topology_arcs": _q_topology_arcs,
     }
 
@@ -315,6 +320,78 @@ WITH pages AS (SELECT doc_id, {synth.url_sql()} AS url FROM documents),
 h0 AS (SELECT doc_id, url, {urlfn.surt_host_sql('url')} AS host FROM pages)
 SELECT doc_id, host, {urlfn.surt_sql('url', 'host')} AS surt FROM h0
 """
+
+
+def _q_link_graph(sf_dir: str):
+    """Link-graph in-degree per (host, path) target: hrefs parsed from the
+    RAW html bytes in an actor pool (stages/extract.LinkExtract), resolved
+    against the page host, pre-counted per block, one exchange on the
+    target key. The SQL twin regenerates the nav/footer link structure
+    from the page template's generative rule (malformed pages lose the
+    about/contact links), the same replicate-the-generator pattern as the
+    media fake-codec oracles."""
+    from posm_ray.stages import extract as extract_stage
+
+    return extract_stage.link_graph(synth.read_pages(sf_dir))
+
+
+def _link_graph_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, (doc_id % {synth.MALFORMED_MOD} = 0) AS mal
+           FROM documents),
+a AS (SELECT {synth.domain_sql()} AS host, COUNT(*) AS all_n,
+             COUNT(*) FILTER (WHERE NOT mal) AS ok_n
+      FROM d GROUP BY 1)
+SELECT host, path, n_in FROM (
+  SELECT host, '/' AS path, all_n AS n_in FROM a
+  UNION ALL SELECT host, '/about', ok_n FROM a
+  UNION ALL SELECT host, '/contact', ok_n FROM a)
+WHERE n_in > 0
+"""
+
+
+_PR_EDGE_MULT = 31
+_PR_EDGE_ADD = 7
+
+
+def _pr_edges_sql() -> str:
+    return (f"SELECT doc_id % {synth.N_DOMAINS} AS src, "
+            f"(doc_id * {_PR_EDGE_MULT} + {_PR_EDGE_ADD}) % {synth.N_DOMAINS} AS dst, "
+            f"COUNT(*) AS n FROM documents GROUP BY 1, 2")
+
+
+def _q_pagerank_hosts(sf_dir: str):
+    """Integer fixed-point PageRank over the host graph (each page links
+    its site to a pseudo-random other site — the deterministic stand-in
+    for a real cross-host link extraction). 10 synchronous iterations,
+    two hash exchanges each (stages/graph.pagerank); every arithmetic op
+    is integer, so the unrolled-CTE DuckDB twin is bit-exact."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from posm_ray.stages import graph as graph_stage
+
+    def edges(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "src": pa.array(did % synth.N_DOMAINS, pa.int64()),
+            "dst": pa.array((did * _PR_EDGE_MULT + _PR_EDGE_ADD)
+                            % synth.N_DOMAINS, pa.int64()),
+        })
+        g = pa.TableGroupBy(t, ["src", "dst"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "dst", "n"])
+
+    e = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])         .map_batches(edges, batch_format="pyarrow")
+    # npartitions sizes the per-iteration exchanges; 4 fits the
+    # host-cardinality graph at test scale (the knob grows with nodes)
+    return graph_stage.pagerank(e, npartitions=4)
+
+
+def _pagerank_hosts_sql() -> str:
+    from posm_ray.stages import graph as graph_stage
+
+    return graph_stage.pagerank_sql(_pr_edges_sql())
 
 
 def _q_bloom_unseen(sf_dir: str):
@@ -1339,6 +1416,9 @@ def oracle_sql() -> dict[str, str]:
         "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
         "quality_quartiles": textops.QUALITY_QUARTILES_SQL,
         "top_tokens": textops.top_tokens_sql(),
+        "postings": textops.POSTINGS_SQL,
+        "percentile_gate": textops.PERCENTILE_GATE_SQL,
+        "host_quota": textops.host_quota_sql(),
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,
         "minhash_near_dups": textops.minhash_near_dups_sql(),
@@ -1348,6 +1428,8 @@ def oracle_sql() -> dict[str, str]:
         "media_embed": _media_embed_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "surt_keys": _surt_keys_sql(),
+        "link_graph": _link_graph_sql(),
+        "pagerank_hosts": _pagerank_hosts_sql(),
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,
         "media_decode": _media_decode_sql(),
         "media_frames": _media_frames_sql(),

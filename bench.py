@@ -144,6 +144,19 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("raster_tiles", lambda: qs["raster_tiles"](sf_dir))
     timed("approx_distinct_domains",
           lambda: qs["approx_distinct_domains"](sf_dir))
+    timed("tile_pyramid", lambda: qs["tile_pyramid"](sf_dir))
+    timed("surt_keys", lambda: qs["surt_keys"](sf_dir))
+    timed("postings", lambda: textops.postings(sf_dir))
+    timed("percentile_gate", lambda: textops.percentile_gate(sf_dir))
+    timed("host_quota", lambda: textops.host_quota(sf_dir))
+
+    def _link_graph():
+        from posm_ray.sources import synth
+        from posm_ray.stages import extract as extract_stage
+
+        return extract_stage.link_graph(synth.read_pages(sf_dir))
+
+    timed("link_graph", _link_graph)
     return timings
 
 

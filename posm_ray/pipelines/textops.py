@@ -1167,3 +1167,199 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN wc ON d.doc_id = wc.doc_id
 LEFT JOIN bc ON d.doc_id = bc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# inverted index (postings build)
+# ---------------------------------------------------------------------------
+
+def postings(sf_dir: str):
+    """Inverted-index build: token -> (document frequency, sorted posting
+    list). The search-index analogue of the reference's per-key fan-out
+    sinks (extract.py writes one table per admin level; here one posting
+    row per token).
+
+    Scale shape: tokens explode per block and pre-reduce to DISTINCT
+    (token, doc_id) pairs (the combiner — repeated words inside a doc
+    never leave the block), ONE hash exchange on token co-locates each
+    token's postings, and a vectorized per-partition merge emits df +
+    the ','-joined ascending doc list. A stopword token's full posting
+    list lands in one partition — the documented skew bound; a corpus-
+    scale index shards hot postings by doc-id range (doc_list is stored
+    per partition anyway, so the shard split is a key change, not a new
+    plan)."""
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_tok, out_id = [], []
+        for did, t in zip(ids, texts):
+            toks = {w for w in t.split(" ") if w}
+            out_tok.extend(toks)
+            out_id.extend([int(did)] * len(toks))
+        t = pa.table({"token": pa.array(out_tok, pa.string()),
+                      "doc_id": pa.array(out_id, pa.int64())})
+        return t
+
+    pairs = ds.map_batches(explode_distinct, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        agg = g.groupby("token", sort=False)["doc_id"].agg(
+            df="size", doc_list=lambda s: ",".join(map(str, s)))
+        out = agg.reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return hash_rollup(pairs, ["token"], merge)
+
+
+POSTINGS_SQL = """
+WITH tok0 AS (
+  SELECT doc_id, tok AS token
+  FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
+       AS t(tok)),
+tok AS (SELECT DISTINCT token, doc_id FROM tok0)
+SELECT token, COUNT(*)::BIGINT AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+FROM tok GROUP BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-lang adaptive percentile gate (two-phase broadcast threshold)
+# ---------------------------------------------------------------------------
+
+def percentile_gate(sf_dir: str):
+    """Keep documents at or above their language's 25th-percentile length
+    — the adaptive-threshold filter a mixing pipeline runs when a fixed
+    cutoff would over-prune low-resource languages.
+
+    Two-phase distributed plan: phase 1 hash-exchanges tiny (lang,
+    n_chars) pairs and computes the exact per-lang order statistic
+    (element at rank ceil(n/4), integer — no interpolation, so the SQL
+    twin matches bit-for-bit); the per-lang thresholds are a
+    bounded-cardinality table, broadcast once via ray.put; phase 2
+    streams the corpus through a vectorized filter against the broadcast
+    dict. Nothing big touches the driver and the corpus is read
+    column-pruned twice (once per phase) rather than materialized."""
+    import ray
+
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "n_chars": pc.utf8_length(batch["text"])})
+
+    def thr_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, sub in g.groupby("lang", sort=False):
+            a = np.sort(sub["n_chars"].to_numpy(dtype=np.int64))
+            rows.append((lang, int(a[(len(a) + 3) // 4 - 1])))
+        return pd.DataFrame(rows, columns=["lang", "thr"])
+
+    thr_ds = hash_rollup(ds.map_batches(project, batch_format="pyarrow"),
+                         ["lang"], thr_part, npartitions=4)
+    # bounded cardinality (one row per language) -> safe to collect
+    thr = {r["lang"]: r["thr"] for r in thr_ds.take_all()}
+    thr_ref = ray.put(thr)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        langs = batch.column("lang").to_pylist()
+        n = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        lim = np.array([t[lg] for lg in langs], dtype=np.int64)
+        keep = pa.array(n >= lim)
+        out = pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                        "n_chars": pa.array(n, pa.int64())})
+        return out.filter(keep)
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+PERCENTILE_GATE_SQL = """
+WITH m AS (
+  SELECT doc_id, lang, length(text)::BIGINT AS n_chars FROM documents),
+r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM m),
+t AS (SELECT lang, n_chars AS thr FROM r WHERE rnk = (n + 3) // 4)
+SELECT m.doc_id, m.lang, m.n_chars
+FROM m JOIN t USING (lang) WHERE m.n_chars >= t.thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-host crawl quota (SURT-keyed site cap)
+# ---------------------------------------------------------------------------
+
+HOST_QUOTA_K = 3
+
+
+def host_quota(sf_dir: str, k: int = HOST_QUOTA_K):
+    """Per-site document cap: at most ``k`` docs per canonical SURT host
+    (ordered by doc_id — crawl order in the synthetic corpus), the quota
+    stage that stops a single domain dominating a training mix.
+
+    Scale shape: the host key derives in-stream (url -> canonical host,
+    functions/urls), each block pre-trims to its local first-k per host
+    (combiner — at most k rows per host leave any block), then ONE hash
+    exchange on host and a vectorized per-partition head(k) + rank.
+    Host cardinality is unbounded (one key per site), hence hash_rollup,
+    not a bounded-final merge."""
+    import ray.data as rd
+
+    from ..functions import urls as urlfn
+    from ..sources import synth
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        us = synth.derive_url(did)
+        hs = [urlfn.canonicalize(u)[0] for u in us]
+        return pa.table({"host": pa.array(hs, pa.string()),
+                         "doc_id": batch["doc_id"]})
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "doc_id"], kind="mergesort")
+        return g.groupby("host", sort=False).head(k)
+
+    partials = ds.map_batches(hosts, batch_format="pyarrow") \
+        .map_batches(cap, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = cap(g).reset_index(drop=True)
+        g["rank"] = (g.groupby("host", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g
+
+    return hash_rollup(partials, ["host"], finish)
+
+
+def host_quota_sql(k: int = HOST_QUOTA_K) -> str:
+    from ..functions import urls as urlfn
+    from ..sources import synth
+
+    return f"""
+WITH pages AS (SELECT doc_id, {synth.url_sql()} AS url FROM documents),
+h AS (SELECT doc_id, {urlfn.surt_host_sql('url')} AS host FROM pages),
+r AS (SELECT host, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rank
+      FROM h)
+SELECT host, doc_id, rank FROM r WHERE rank <= {k}
+"""

@@ -89,3 +89,70 @@ def extracted_pages(pages, *, concurrency=None, batch_size: int | None = None,
                   fn_constructor_kwargs={"slim": slim},
                   concurrency=concurrency if concurrency is not None else default_pool())
     return pages.map_batches(ExtractGeocodeCells, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# link graph (href extraction -> in-degree per target)
+# ---------------------------------------------------------------------------
+
+class LinkExtract:
+    """Actor stage: raw html bytes -> (host, path) link targets, one row
+    per href occurrence. The regex compiles once per actor and runs over
+    the undecoded bytes (hrefs are ASCII in any charset the corpus
+    carries); site-relative hrefs resolve against the page's canonical
+    host, absolute http(s) hrefs against their own, anything else
+    (fragments, mailto, protocol-relative) is dropped."""
+
+    def __init__(self):
+        import re
+
+        self.href_re = re.compile(rb'href="([^"]*)"')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import urls as urlfn
+
+        htmls = batch.column("html").to_pylist()
+        page_urls = batch.column("url").to_pylist()
+        out_host, out_path = [], []
+        for url, html in zip(page_urls, htmls):
+            page_host = urlfn.canonicalize(url)[0]
+            for m in self.href_re.finditer(html):
+                href = m.group(1).decode("ascii", "ignore")
+                if href.startswith("http://") or href.startswith("https://"):
+                    host, surt = urlfn.canonicalize(href)
+                    path = surt.split(")", 1)[1].split("?", 1)[0] or "/"
+                elif href.startswith("/") and not href.startswith("//"):
+                    host = page_host
+                    path = href.split("?", 1)[0].split("#", 1)[0]
+                else:
+                    continue
+                out_host.append(host)
+                out_path.append(path)
+        t = pa.table({"host": pa.array(out_host, pa.string()),
+                      "path": pa.array(out_path, pa.string())})
+        # in-block pre-count (combiner): one row per distinct target per
+        # block leaves the stage, not one per href occurrence
+        g = pa.TableGroupBy(t, ["host", "path"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "path", "n_in"])
+
+
+def link_graph(pages, *, concurrency=None, npartitions: int = 16):
+    """In-degree per link target over the crawl: parse hrefs from the raw
+    html in an actor pool, pre-count per block, ONE hash exchange on the
+    (host, path) target key, vectorized sum per partition. The web
+    link-analysis primitive (in-degree is the input to any centrality /
+    spam-score stage); the exchange ships counted targets, never hrefs."""
+    from ..util import hash_rollup
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None,
+                  concurrency=concurrency if concurrency is not None
+                  else default_pool())
+    partials = pages.map_batches(LinkExtract, **kwargs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["host", "path"]).aggregate([("n_in", "sum")])
+        return g.rename_columns(["host", "path", "n_in"])
+
+    return hash_rollup(partials, ["host", "path"], merge,
+                       npartitions=npartitions, batch_format="pyarrow")

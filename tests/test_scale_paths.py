@@ -303,3 +303,36 @@ class TestTilePyramid:
             .groupby("p")["n_docs"].sum()
         r8 = out[out["res"] == 8].set_index("cell")["n_docs"]
         assert lifted.sort_index().equals(r8.sort_index())
+
+
+class TestPagerank:
+    def test_matches_numpy_reference(self, ray_session):
+        """Distributed integer PageRank == a straightforward single-process
+        replay of the same fixed-point recurrence on a small digraph."""
+        import numpy as np
+        import ray.data as rd
+
+        from posm_ray.stages import graph as g
+
+        edges = [(0, 1, 2), (1, 2, 1), (2, 0, 1), (0, 2, 1), (3, 0, 5)]
+        ds = rd.from_items(
+            [{"src": s, "dst": d, "n": n} for s, d, n in edges])
+        got = {r["node"]: r["r"]
+               for r in g.pagerank(ds, n_iter=4, npartitions=2).take_all()}
+
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        r = {v: g.SCALE for v in nodes}
+        wt = {}
+        for s, _, n in edges:
+            wt[s] = wt.get(s, 0) + n
+        tel = (g.DAMP_DEN - g.DAMP_NUM) * g.SCALE // g.DAMP_DEN
+        for _ in range(4):
+            inflow = {v: 0 for v in nodes}
+            for s, d, n in edges:
+                inflow[d] += (r[s] * n) // wt[s]
+            r = {v: tel + g.DAMP_NUM * inflow[v] // g.DAMP_DEN
+                 for v in nodes}
+        assert got == r
+        # every node keeps at least the teleport floor; node 3 (no
+        # in-edges) sits exactly on it
+        assert min(got.values()) == got[3] == tel

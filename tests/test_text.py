@@ -317,3 +317,86 @@ SELECT url, h, {urls.surt_sql('url', 'h')} AS s FROM h0
             "http://WWW.Site.COM:80/p?b=2&a=1#x")
         assert host == "www.site.com"
         assert surt == "com,site,www)/p?a=1&b=2"
+
+
+class TestPostings:
+    def test_df_matches_doc_list_and_pandas_oracle(self, ray_session):
+        import pandas as pd
+
+        from posm_ray.pipelines import textops
+
+        out = textops.postings("/root/testdata/sf0.001").to_pandas()
+        assert (out["df"] == out["doc_list"].str.count(",") + 1).all()
+        # independent pandas rebuild
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+        want = {}
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            for w in set(x for x in t.split(" ") if x):
+                want.setdefault(w, []).append(int(did))
+        got = dict(zip(out["token"], out["doc_list"]))
+        assert len(got) == len(want)
+        for tok, ids in want.items():
+            assert got[tok] == ",".join(map(str, sorted(ids)))
+
+
+class TestPercentileGate:
+    def test_threshold_semantics(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from posm_ray.pipelines import textops
+
+        out = textops.percentile_gate("/root/testdata/sf0.001").to_pandas()
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        docs["n_chars"] = docs["text"].str.len()
+        for lang, sub in docs.groupby("lang"):
+            a = np.sort(sub["n_chars"].to_numpy())
+            thr = a[(len(a) + 3) // 4 - 1]
+            kept = out[out["lang"] == lang]
+            want = sub[sub["n_chars"] >= thr]
+            assert set(kept["doc_id"]) == set(want["doc_id"]), lang
+            # the gate keeps at least ~75% of each language
+            assert len(kept) >= 0.7 * len(sub)
+
+
+class TestHostQuota:
+    def test_cap_and_min_id_winners(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        out = textops.host_quota("/root/testdata/sf0.001", k=3).to_pandas()
+        per = out.groupby("host")
+        assert int(per.size().max()) <= 3
+        for host, g in per:
+            g = g.sort_values("rank")
+            assert g["rank"].tolist() == list(range(1, len(g) + 1))
+            assert g["doc_id"].is_monotonic_increasing
+        # winners are the smallest ids per host: doc_id % 100 == host index
+        d = int(out["host"].iloc[0].split("-")[1].split(".")[0])
+        ids = sorted(out.loc[out["host"] == out["host"].iloc[0], "doc_id"])
+        assert ids == [d, d + 100, d + 200]
+
+
+class TestLinkExtract:
+    """stages/extract.LinkExtract href parsing + resolution rules."""
+
+    def test_resolution_rules(self):
+        import pyarrow as pa
+
+        from posm_ray.stages.extract import LinkExtract
+
+        html = (b'<a href="/x">a</a> <a href="/x?q=1#f">b</a> '
+                b'<a href="https://Other.COM:443/y?b=2">c</a> '
+                b'<a href="//proto-rel.test/z">d</a> '
+                b'<a href="mailto:a@b.c">e</a> <a href="#frag">f</a> '
+                b'<a href="relative/page">g</a>')
+        batch = pa.table({
+            "url": pa.array(["http://WWW.Site.COM:80/p"]),
+            "html": pa.array([html], pa.binary()),
+        })
+        out = LinkExtract()(batch).to_pandas()
+        got = {(r.host, r.path): r.n_in for r in out.itertuples()}
+        # /x and /x?q=1#f both resolve to (www.site.com, /x) -> count 2
+        assert got == {("www.site.com", "/x"): 2,
+                       ("other.com", "/y"): 1}
