@@ -157,6 +157,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         return extract_stage.link_graph(synth.read_pages(sf_dir))
 
     timed("link_graph", _link_graph)
+    timed("curation_pipeline", lambda: textops.curation_pipeline(sf_dir))
     return timings
 
 

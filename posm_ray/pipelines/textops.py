@@ -1363,3 +1363,127 @@ r AS (SELECT host, doc_id,
       FROM h)
 SELECT host, doc_id, rank FROM r WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline (the composed LLM-data path)
+# ---------------------------------------------------------------------------
+
+CURATION_HOST_K = 10
+CURATION_LANG_N = 50
+
+
+def curation_pipeline(sf_dir: str, *, host_k: int = CURATION_HOST_K,
+                      lang_n: int = CURATION_LANG_N, npartitions: int = 16):
+    """The composed training-data path a user of the engine actually runs,
+    as ONE streaming pipeline over the noisy corpus:
+
+      quality gate -> exact dedup -> per-host quota -> stratified mix
+
+    Stage A is a single fused pass (gate + content hash + host key — one
+    text scan, not three); dedup and quota are one hash exchange each
+    (content_hash, then host); the final per-lang mix is a bounded
+    combiner + single merge task (langs x n rows total). Every rule is
+    integer/string-exact, so the whole composition has ONE bit-exact SQL
+    twin — operator composition, not just operators, is oracle-checked.
+    Output: (lang, doc_id, host, mix_rank)."""
+    from ..sources import synth
+    from ..util import hash_rollup
+    from .relational import _merge_small
+
+    ds = noisy_documents(sf_dir)
+
+    def gate_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keep = []
+        hashes = []
+        for t in texts:
+            m = textfn.quality_metrics(t)
+            ok = (QF_MIN_CHARS <= m["n_chars"] <= QF_MAX_CHARS
+                  and textfn.token_count(t) >= QF_MIN_TOKENS
+                  and m["n_punct"] * 100 < m["n_chars"] * QF_MAX_PUNCT_PER_CHAR_PCT
+                  and m["n_digit"] * 100 < m["n_chars"] * QF_MAX_DIGIT_PER_CHAR_PCT)
+            keep.append(ok)
+            hashes.append(textfn.fingerprint_md5(t) if ok else "")
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "content_hash": pa.array(hashes, pa.string()),
+            "host": pa.array(synth.derive_domain(did), pa.string()),
+        })
+        return t.filter(pa.array(keep))
+
+    gated = ds.map_batches(gate_hash, batch_format="pyarrow")
+
+    def dedup_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", "doc_id"], kind="mergesort")
+        return g.drop_duplicates("content_hash", keep="first") \
+            .drop(columns=["content_hash"])
+
+    deduped = hash_rollup(gated, ["content_hash"], dedup_min,
+                          npartitions=npartitions)
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "doc_id"], kind="mergesort")
+        return g.groupby("host", sort=False).head(host_k)
+
+    quotaed = hash_rollup(deduped, ["host"], quota, npartitions=npartitions)
+
+    def mix_partial(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        g = g.assign(key=(did * 2654435761) % (1 << 31))
+        g = g.sort_values(["lang", "key", "doc_id"], kind="mergesort")
+        return g.groupby("lang", sort=False).head(lang_n)
+
+    partials = quotaed.map_batches(mix_partial, batch_format="pandas")
+
+    def mix_final(t: pa.Table) -> pa.Table:
+        g = mix_partial(t.to_pandas()).reset_index(drop=True)
+        g["mix_rank"] = (g.groupby("lang", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return pa.Table.from_pandas(
+            g[["lang", "doc_id", "host", "mix_rank"]], preserve_index=False)
+
+    return _merge_small(partials, mix_final)
+
+
+def curation_pipeline_sql(host_k: int = CURATION_HOST_K,
+                          lang_n: int = CURATION_LANG_N) -> str:
+    from ..sources import synth
+
+    # gate conditions mirror QUALITY_FILTER_SQL's, inlined over the noisy
+    # corpus (same QF_* constants, same integer arithmetic)
+    return f"""
+WITH noisy AS ({NOISY_DOCUMENTS_SQL}),
+m AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars,
+         (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) AS n_punct,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digit,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM noisy),
+kept AS (
+  SELECT doc_id, lang, text FROM m
+  WHERE n_chars >= {QF_MIN_CHARS} AND n_chars <= {QF_MAX_CHARS}
+    AND n_tokens >= {QF_MIN_TOKENS}
+    AND n_punct * 100 < n_chars * {QF_MAX_PUNCT_PER_CHAR_PCT}
+    AND n_digit * 100 < n_chars * {QF_MAX_DIGIT_PER_CHAR_PCT}),
+ded AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+h AS (SELECT doc_id, lang, {synth.domain_sql()} AS host FROM ded),
+qt AS (
+  SELECT doc_id, lang, host FROM (
+    SELECT doc_id, lang, host,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS hr
+    FROM h) WHERE hr <= {host_k})
+SELECT lang, doc_id, host, mix_rank FROM (
+  SELECT lang, doc_id, host,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % {1 << 31}, doc_id) AS mix_rank
+  FROM qt) WHERE mix_rank <= {lang_n}
+"""

@@ -400,3 +400,24 @@ class TestLinkExtract:
         # /x and /x?q=1#f both resolve to (www.site.com, /x) -> count 2
         assert got == {("www.site.com", "/x"): 2,
                        ("other.com", "/y"): 1}
+
+
+class TestCurationPipeline:
+    def test_stages_all_bite(self, ray_session):
+        import pandas as pd
+
+        from posm_ray.pipelines import textops
+
+        out = textops.curation_pipeline(
+            "/root/testdata/sf0.001", host_k=2, lang_n=10).to_pandas()
+        # mix caps at lang_n per language with contiguous ranks
+        per = out.groupby("lang")
+        assert int(per.size().max()) <= 10
+        for _, g in per:
+            assert sorted(g["mix_rank"]) == list(range(1, len(g) + 1))
+        # quota: never more than host_k docs of one host survive
+        assert int(out.groupby("host").size().max()) <= 2
+        # dedup: no surviving exact-duplicate pair (text equality by id
+        # construction: +1_000_000 ids are exact copies)
+        ids = set(out["doc_id"])
+        assert not {i for i in ids if i >= 1_000_000 and i - 1_000_000 in ids}
