@@ -135,13 +135,16 @@ def bloom_unseen(new_ds, seen_ds, *, url_col: str = "url",
     tagged = tested.map_batches(tag_new, batch_format="pyarrow").union(
         seen_ds.map_batches(tag_seen, batch_format="pyarrow"))
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
+    def anti(g: pd.DataFrame) -> pa.Table:
         seen_urls = set(g.loc[g["side"] == 1, "url"])
         cand = g[g["side"] == 0]
         keep = cand[~cand["url"].isin(seen_urls)]
-        return pd.DataFrame({
-            id_col: keep[id_col].astype(np.int64),
-            "url": keep["url"],
+        # Arrow out (not pandas): Ray's block-size estimator np.vectorizes
+        # over object-dtype pandas columns and logs errors on empty blocks
+        return pa.table({
+            id_col: pa.array(keep[id_col].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "url": pa.array(keep["url"].tolist(), pa.string()),
         })
 
     rescued = hash_rollup(tagged, ["url"], anti, npartitions=npartitions)
