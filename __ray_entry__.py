@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_gate": textops.percentile_gate,
         "host_quota": textops.host_quota,
         "curation_pipeline": textops.curation_pipeline,
+        "unigram_surprisal": textops.unigram_surprisal,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
         "lang_quality": textops.lang_quality,
@@ -1421,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_gate": textops.PERCENTILE_GATE_SQL,
         "host_quota": textops.host_quota_sql(),
         "curation_pipeline": textops.curation_pipeline_sql(),
+        "unigram_surprisal": textops.unigram_surprisal_sql(),
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,
         "minhash_near_dups": textops.minhash_near_dups_sql(),

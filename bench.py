@@ -158,6 +158,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     timed("link_graph", _link_graph)
     timed("curation_pipeline", lambda: textops.curation_pipeline(sf_dir))
+    timed("unigram_surprisal", lambda: textops.unigram_surprisal(sf_dir))
     return timings
 
 

@@ -1487,3 +1487,107 @@ SELECT lang, doc_id, host, mix_rank FROM (
            ORDER BY (doc_id * 2654435761) % {1 << 31}, doc_id) AS mix_rank
   FROM qt) WHERE mix_rank <= {lang_n}
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal (model-based scoring with a broadcast vocabulary)
+# ---------------------------------------------------------------------------
+
+SURPRISAL_V = 10
+
+
+def unigram_surprisal(sf_dir: str, v: int = SURPRISAL_V):
+    """Model-based document scoring with a corpus-DERIVED broadcast model:
+    phase 1 trains the 'model' (the top-``v`` global tokens ranked by
+    frequency, ties broken by token), phase 2 scores every document as the
+    sum of its tokens' ranks (out-of-vocabulary tokens cost ``v + 1``) —
+    the integer stand-in for the n-gram-LM perplexity filter a quality
+    pipeline runs, exercising the same train-broadcast-score topology.
+
+    Scale shape: training pre-counts tokens per block, ONE hash exchange
+    on token, bounded top-``v`` final (`_merge_small`); the v-row model is
+    a `ray.put` broadcast; scoring explodes tokens per batch and reduces
+    with a vectorized map + groupby-sum — zero additional shuffles.
+    All-integer, so the SQL twin is bit-exact."""
+    import ray
+
+    import ray.data as rd
+
+    from .relational import _merge_small
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def precount(batch: pa.Table) -> pa.Table:
+        toks = [w for t in batch.column("text").to_pylist()
+                for w in t.split(" ") if w]
+        t = pa.table({"tok": pa.array(toks, pa.string())})
+        g = pa.TableGroupBy(t, ["tok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "n"])
+
+    counts = hash_rollup(
+        ds.map_batches(precount, batch_format="pyarrow"), ["tok"],
+        lambda t: pa.TableGroupBy(t, ["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        batch_format="pyarrow")
+
+    def topv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "tok"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(v)
+
+    def rank(t: pa.Table) -> pa.Table:
+        g = topv(t.to_pandas()).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(g[["tok", "rank"]], preserve_index=False)
+
+    vocab_ds = _merge_small(
+        counts.map_batches(topv, batch_format="pandas"), rank)
+    vocab = {r["tok"]: r["rank"] for r in vocab_ds.take_all()}
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vmap = ray.get(vocab_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_tok = [], []
+        for did, t in zip(ids, texts):
+            toks = [w for w in t.split(" ") if w]
+            out_id.extend([int(did)] * len(toks))
+            out_tok.extend(toks)
+        e = pd.DataFrame({"doc_id": out_id, "tok": out_tok})
+        e["rank"] = e["tok"].map(vmap).fillna(v + 1).astype(np.int64)
+        agg = e.groupby("doc_id", sort=False)["rank"] \
+            .agg(surprisal="sum", n_tokens="size")
+        sur = pd.Series(ids, dtype=np.int64).map(agg["surprisal"]) \
+            .fillna(0).astype(np.int64)
+        ntk = pd.Series(ids, dtype=np.int64).map(agg["n_tokens"]) \
+            .fillna(0).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "surprisal": pa.array(sur.to_numpy()),
+                         "n_tokens": pa.array(ntk.to_numpy())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_surprisal_sql(v: int = SURPRISAL_V) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
+       AS t(tok)),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, rank FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+    FROM counts) WHERE rank <= {v}),
+s AS (
+  SELECT toks.doc_id, SUM(COALESCE(vocab.rank, {v + 1})) AS surprisal,
+         COUNT(*) AS n_tokens
+  FROM toks LEFT JOIN vocab USING (tok) GROUP BY toks.doc_id)
+SELECT d.doc_id,
+       COALESCE(s.surprisal, 0)::BIGINT AS surprisal,
+       COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""

@@ -421,3 +421,27 @@ class TestCurationPipeline:
         # construction: +1_000_000 ids are exact copies)
         ids = set(out["doc_id"])
         assert not {i for i in ids if i >= 1_000_000 and i - 1_000_000 in ids}
+
+
+class TestUnigramSurprisal:
+    def test_scores_match_pandas_rebuild(self, ray_session):
+        from collections import Counter
+
+        import pandas as pd
+
+        from posm_ray.pipelines import textops
+
+        out = textops.unigram_surprisal("/root/testdata/sf0.001", v=5) \
+            .to_pandas().set_index("doc_id")
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+        counts = Counter(w for t in docs["text"] for w in t.split(" ") if w)
+        vocab = {tok: i + 1 for i, (tok, _) in enumerate(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5])}
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            toks = [w for w in t.split(" ") if w]
+            want = sum(vocab.get(w, 6) for w in toks)
+            assert out.loc[did, "surprisal"] == want
+            assert out.loc[did, "n_tokens"] == len(toks)
+        # OOV must actually occur (the model is a strict subset of vocab)
+        assert len(counts) > 5
