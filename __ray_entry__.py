@@ -1418,7 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         "noisy_documents": textops.NOISY_DOCUMENTS_SQL,
         "quality_quartiles": textops.QUALITY_QUARTILES_SQL,
         "top_tokens": textops.top_tokens_sql(),
-        "postings": textops.POSTINGS_SQL,
+        "postings": textops.postings_sql(),
         "percentile_gate": textops.PERCENTILE_GATE_SQL,
         "host_quota": textops.host_quota_sql(),
         "curation_pipeline": textops.curation_pipeline_sql(),

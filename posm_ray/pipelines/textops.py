@@ -1173,21 +1173,24 @@ LEFT JOIN bc ON d.doc_id = bc.doc_id
 # inverted index (postings build)
 # ---------------------------------------------------------------------------
 
-def postings(sf_dir: str):
-    """Inverted-index build: token -> (document frequency, sorted posting
-    list). The search-index analogue of the reference's per-key fan-out
-    sinks (extract.py writes one table per admin level; here one posting
-    row per token).
+POSTINGS_SEG = 32
+
+
+def postings(sf_dir: str, seg_size: int = POSTINGS_SEG):
+    """Inverted-index build: token -> SEGMENTED sorted posting list. The
+    search-index analogue of the reference's per-key fan-out sinks
+    (extract.py writes one table per admin level; here posting rows per
+    token).
 
     Scale shape: tokens explode per block and pre-reduce to DISTINCT
     (token, doc_id) pairs (the combiner — repeated words inside a doc
     never leave the block), ONE hash exchange on token co-locates each
-    token's postings, and a vectorized per-partition merge emits df +
-    the ','-joined ascending doc list. A stopword token's full posting
-    list lands in one partition — the documented skew bound; a corpus-
-    scale index shards hot postings by doc-id range (doc_list is stored
-    per partition anyway, so the shard split is a key change, not a new
-    plan)."""
+    token's postings, and a vectorized per-partition merge emits the
+    ','-joined ascending doc list in ``seg_size``-id SEGMENTS — a
+    stopword token yields many bounded rows, never one corpus-length
+    string (the unsegmented form is a memory bomb at 10^12 docs: one
+    row holding a billion ids). Output (token, seg, df_seg, doc_list);
+    per-token df = sum of df_seg over its segments."""
     import ray.data as rd
 
     from ..util import hash_rollup
@@ -1211,24 +1214,32 @@ def postings(sf_dir: str):
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["token", "doc_id"], kind="mergesort")
-        agg = g.groupby("token", sort=False)["doc_id"].agg(
-            df="size", doc_list=lambda s: ",".join(map(str, s)))
+        g = g.assign(seg=(g.groupby("token", sort=False).cumcount()
+                          // seg_size).astype("int64"))
+        agg = g.groupby(["token", "seg"], sort=False)["doc_id"].agg(
+            df_seg="size", doc_list=lambda s: ",".join(map(str, s)))
         out = agg.reset_index()
-        out["df"] = out["df"].astype("int64")
+        out["df_seg"] = out["df_seg"].astype("int64")
         return out
 
     return hash_rollup(pairs, ["token"], merge)
 
 
-POSTINGS_SQL = """
+def postings_sql(seg_size: int = POSTINGS_SEG) -> str:
+    return f"""
 WITH tok0 AS (
   SELECT doc_id, tok AS token
   FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
        AS t(tok)),
-tok AS (SELECT DISTINCT token, doc_id FROM tok0)
-SELECT token, COUNT(*)::BIGINT AS df,
+tok AS (SELECT DISTINCT token, doc_id FROM tok0),
+numbered AS (
+  SELECT token, doc_id,
+         CAST((ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) - 1)
+              // {seg_size} AS BIGINT) AS seg
+  FROM tok)
+SELECT token, seg, COUNT(*)::BIGINT AS df_seg,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
-FROM tok GROUP BY token
+FROM numbered GROUP BY token, seg
 """
 
 

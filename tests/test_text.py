@@ -320,24 +320,33 @@ SELECT url, h, {urls.surt_sql('url', 'h')} AS s FROM h0
 
 
 class TestPostings:
-    def test_df_matches_doc_list_and_pandas_oracle(self, ray_session):
+    def test_segments_match_pandas_rebuild(self, ray_session):
         import pandas as pd
 
         from posm_ray.pipelines import textops
 
-        out = textops.postings("/root/testdata/sf0.001").to_pandas()
-        assert (out["df"] == out["doc_list"].str.count(",") + 1).all()
-        # independent pandas rebuild
+        out = textops.postings("/root/testdata/sf0.001", seg_size=8) \
+            .to_pandas()
+        assert (out["df_seg"] == out["doc_list"].str.count(",") + 1).all()
+        assert int(out["df_seg"].max()) <= 8
+        # independent pandas rebuild: segmented sorted posting lists
         docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                                columns=["doc_id", "text"])
         want = {}
         for did, t in zip(docs["doc_id"], docs["text"]):
             for w in set(x for x in t.split(" ") if x):
                 want.setdefault(w, []).append(int(did))
-        got = dict(zip(out["token"], out["doc_list"]))
-        assert len(got) == len(want)
+        got = {(r.token, r.seg): r.doc_list for r in out.itertuples()}
+        n_segs = 0
         for tok, ids in want.items():
-            assert got[tok] == ",".join(map(str, sorted(ids)))
+            ids = sorted(ids)
+            for s in range((len(ids) + 7) // 8):
+                n_segs += 1
+                assert got[(tok, s)] == ",".join(
+                    map(str, ids[s * 8:(s + 1) * 8]))
+        assert n_segs == len(out)
+        # segmentation actually bites (some token spans multiple segments)
+        assert int(out["seg"].max()) > 0
 
 
 class TestPercentileGate:
