@@ -1439,7 +1439,12 @@ def curation_pipeline(sf_dir: str, *, host_k: int = CURATION_HOST_K,
         g = g.sort_values(["host", "doc_id"], kind="mergesort")
         return g.groupby("host", sort=False).head(host_k)
 
-    quotaed = hash_rollup(deduped, ["host"], quota, npartitions=npartitions)
+    # quota is its own combiner (local first-k ⊇ global first-k), so
+    # pre-cap per block before the host exchange — at most host_k rows
+    # per host per block ship, instead of the whole deduped stream
+    quotaed = hash_rollup(
+        deduped.map_batches(quota, batch_format="pandas"),
+        ["host"], quota, npartitions=npartitions)
 
     def mix_partial(g: pd.DataFrame) -> pd.DataFrame:
         did = g["doc_id"].to_numpy(dtype=np.int64)
