@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quota": textops.host_quota,
         "curation_pipeline": textops.curation_pipeline,
         "unigram_surprisal": textops.unigram_surprisal,
+        "cell_majority_label": vectors.cell_majority_label,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
         "lang_quality": textops.lang_quality,
@@ -394,6 +395,21 @@ def _pagerank_hosts_sql() -> str:
     from posm_ray.stages import graph as graph_stage
 
     return graph_stage.pagerank_sql(_pr_edges_sql())
+
+
+def _cell_majority_label_sql() -> str:
+    return f"""
+WITH jr AS ({_join_rows_sql()}),
+j AS (SELECT jr.cell_r7 AS cell, e.label
+      FROM jr JOIN embeddings e ON jr.doc_id = e.vec_id),
+c AS (SELECT cell, label, COUNT(*) AS n FROM j GROUP BY cell, label)
+SELECT cell, CAST(label AS BIGINT) AS majority_label,
+       CAST(n AS BIGINT) AS n_docs
+FROM (SELECT cell, label, n,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY n DESC, label ASC) AS rn
+      FROM c) WHERE rn = 1
+"""
 
 
 def _q_bloom_unseen(sf_dir: str):
@@ -1423,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quota": textops.host_quota_sql(),
         "curation_pipeline": textops.curation_pipeline_sql(),
         "unigram_surprisal": textops.unigram_surprisal_sql(),
+        "cell_majority_label": _cell_majority_label_sql(),
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,
         "minhash_near_dups": textops.minhash_near_dups_sql(),

@@ -159,6 +159,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("link_graph", _link_graph)
     timed("curation_pipeline", lambda: textops.curation_pipeline(sf_dir))
     timed("unigram_surprisal", lambda: textops.unigram_surprisal(sf_dir))
+    timed("cell_majority_label", lambda: vectors.cell_majority_label(sf_dir))
     return timings
 
 

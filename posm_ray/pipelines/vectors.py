@@ -29,6 +29,7 @@ that the same threshold filter runs over ``ann_lsh`` bucket pairs instead
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -183,3 +184,71 @@ def ann_ivf(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 6):
     }
     out = knn.ann_cosine_ivf(emb, queries, k=k, nlist=nlist, nprobe=nprobe)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def cell_majority_label(sf_dir: str, *, cell_col: str = "cell_r7",
+                        npartitions: int = 16):
+    """Geo × vector-table fusion: the majority embedding label per tile
+    cell (count desc, min label tie-break) — the 'what does this map cell
+    mostly contain' rollup a curation dashboard asks after docs are both
+    geocoded and embedded.
+
+    Scale shape: the PIP join rows arrive slim (doc_id + cells only), the
+    embeddings table contributes only (vec_id, label) — column-pruned at
+    the read. ONE tagged-union co-partition on doc_id attaches each doc's
+    label to its cell and pre-counts (cell, label) per partition; a second
+    exchange on cell merges counts and elects the majority with a
+    deterministic lexsort. Both exchanges ship counted pairs, never rows.
+    Inner-join semantics: docs without an embedding row (or labels whose
+    doc never geocoded) drop out."""
+    import ray.data as rd
+
+    from .flagship import join_rows
+    from ..util import hash_rollup
+
+    jr = join_rows(sf_dir, slim=True)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["doc_id"],
+            "cell": b[cell_col],
+            "label": pa.nulls(b.num_rows, pa.int32()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def emb_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["vec_id"],
+            "cell": pa.nulls(b.num_rows, pa.int64()),
+            "label": b["label"],
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    tagged = jr.map_batches(doc_side, batch_format="pyarrow").union(
+        emb.map_batches(emb_side, batch_format="pyarrow"))
+
+    def attach_count(g: pd.DataFrame) -> pd.DataFrame:
+        lmap = g.loc[g["side"] == 1].set_index("key")["label"]
+        d = g[g["side"] == 0]
+        lab = d["key"].map(lmap)
+        ok = lab.notna()
+        out = pd.DataFrame({"cell": d.loc[ok, "cell"].astype(np.int64),
+                            "label": lab[ok].astype(np.int64)})
+        return out.groupby(["cell", "label"], sort=False) \
+            .size().reset_index(name="n")
+
+    counts = hash_rollup(tagged, ["key"], attach_count,
+                         npartitions=npartitions)
+
+    def majority(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cell", "label"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["cell", "n", "label"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates("cell", keep="first")
+        return pd.DataFrame({"cell": g["cell"].astype(np.int64),
+                             "majority_label": g["label"].astype(np.int64),
+                             "n_docs": g["n"].astype(np.int64)})
+
+    return hash_rollup(counts, ["cell"], majority, npartitions=npartitions)

@@ -199,3 +199,26 @@ class TestHllSketch:
         b = ti.approx_distinct_domains(flagship.join_rows(SF, slim=True)) \
             .to_pandas().sort_values("cell").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestCellMajorityLabel:
+    def test_majority_matches_pandas_rebuild(self, ray_session):
+        import pandas as pd
+
+        from posm_ray.pipelines import flagship, vectors
+
+        out = vectors.cell_majority_label("/root/testdata/sf0.001") \
+            .to_pandas().set_index("cell")
+        jr = flagship.join_rows("/root/testdata/sf0.001",
+                                slim=True).to_pandas()
+        emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                              columns=["vec_id", "label"])
+        j = jr.merge(emb, left_on="doc_id", right_on="vec_id")
+        c = j.groupby(["cell_r7", "label"]).size().reset_index(name="n")
+        c = c.sort_values(["cell_r7", "n", "label"],
+                          ascending=[True, False, True])
+        want = c.drop_duplicates("cell_r7").set_index("cell_r7")
+        assert len(out) == len(want)
+        for cell, row in want.iterrows():
+            assert out.loc[cell, "majority_label"] == row["label"]
+            assert out.loc[cell, "n_docs"] == row["n"]
