@@ -160,6 +160,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("curation_pipeline", lambda: textops.curation_pipeline(sf_dir))
     timed("unigram_surprisal", lambda: textops.unigram_surprisal(sf_dir))
     timed("cell_majority_label", lambda: vectors.cell_majority_label(sf_dir))
+    timed("counting_median", lambda: textops.counting_median(sf_dir))
     return timings
 
 

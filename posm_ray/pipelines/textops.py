@@ -1607,3 +1607,61 @@ SELECT d.doc_id,
        COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# counting median (exact order statistic WITH a combiner)
+# ---------------------------------------------------------------------------
+
+def counting_median(sf_dir: str):
+    """Exact per-lang median document length via COUNTING, not sorting:
+    because the value domain is bounded (document lengths are small
+    integers), per-block (lang, n_chars, count) histograms are a perfect
+    combiner — the exchange ships O(langs × distinct_lengths) rows no
+    matter the corpus size, where the raw-pair plan (`quality_quartiles`,
+    kept as the unbounded-domain counterpart) ships one row per document.
+    The per-lang merge sums histograms, cumsums in value order, and reads
+    the value at rank ``(n+1)//2`` (lower median — integer, exact twin).
+    Output (lang, median_chars, n_docs)."""
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"],
+                      "n_chars": pc.utf8_length(batch["text"])})
+        g = pa.TableGroupBy(t, ["lang", "n_chars"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    partials = ds.map_batches(hist, batch_format="pyarrow")
+
+    def median(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["lang", "n_chars"], sort=False)["cnt"].sum() \
+            .reset_index()
+        g = g.sort_values(["lang", "n_chars"], kind="mergesort")
+        rows = []
+        for lang, sub in g.groupby("lang", sort=False):
+            cum = sub["cnt"].to_numpy(dtype=np.int64).cumsum()
+            n = int(cum[-1])
+            target = (n + 1) // 2
+            idx = int(np.searchsorted(cum, target))
+            rows.append((lang, int(sub["n_chars"].iloc[idx]), n))
+        return pd.DataFrame(rows,
+                            columns=["lang", "median_chars", "n_docs"])
+
+    return hash_rollup(partials, ["lang"], median, npartitions=4)
+
+
+COUNTING_MEDIAN_SQL = """
+WITH m AS (SELECT lang, length(text)::BIGINT AS n_chars FROM documents),
+r AS (SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM m)
+SELECT lang, n_chars AS median_chars, CAST(n AS BIGINT) AS n_docs
+FROM r WHERE rnk = (n + 1) // 2
+"""

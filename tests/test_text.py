@@ -454,3 +454,21 @@ class TestUnigramSurprisal:
             assert out.loc[did, "n_tokens"] == len(toks)
         # OOV must actually occur (the model is a strict subset of vocab)
         assert len(counts) > 5
+
+
+class TestCountingMedian:
+    def test_matches_numpy_lower_median(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from posm_ray.pipelines import textops
+
+        out = textops.counting_median("/root/testdata/sf0.001") \
+            .to_pandas().set_index("lang")
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["lang", "text"])
+        docs["n"] = docs["text"].str.len()
+        for lang, sub in docs.groupby("lang"):
+            a = np.sort(sub["n"].to_numpy())
+            assert out.loc[lang, "median_chars"] == a[(len(a) + 1) // 2 - 1]
+            assert out.loc[lang, "n_docs"] == len(a)
