@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": textops.curation_pipeline,
         "unigram_surprisal": textops.unigram_surprisal,
         "counting_median": textops.counting_median,
+        "dedup_incremental": textops.dedup_incremental,
         "cell_majority_label": vectors.cell_majority_label,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
@@ -1441,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": textops.curation_pipeline_sql(),
         "unigram_surprisal": textops.unigram_surprisal_sql(),
         "counting_median": textops.COUNTING_MEDIAN_SQL,
+        "dedup_incremental": textops.DEDUP_EXACT_SQL,
         "cell_majority_label": _cell_majority_label_sql(),
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,

@@ -1665,3 +1665,68 @@ r AS (SELECT lang, n_chars,
 SELECT lang, n_chars AS median_chars, CAST(n AS BIGINT) AS n_docs
 FROM r WHERE rnk = (n + 1) // 2
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (state merge — no rescan of the old corpus)
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: yesterday's WINNER STATE (content_hash ->
+    keep_id over the base corpus) merges with today's DELTA (the injected
+    duplicate rows) in one exchange — the old corpus is never rescanned;
+    only its pre-reduced winner table flows. This is how a daily crawl
+    pipeline actually runs dedup at 10^12 docs: the winner state is the
+    persistent sketch, each day's delta co-partitions against it.
+
+    Provably equal to the full recompute: winners(old ∪ delta) =
+    min-merge(winners(old), winners(delta)) because min is associative —
+    the oracle twin IS the full-corpus QUALIFY (`dedup_exact`'s SQL), so
+    the equality is hash-checked, not asserted."""
+    import ray.data as rd
+
+    from ..stages.dedup import add_content_hash, dedup_exact
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    old_state = dedup_exact(base)            # (content_hash, keep_id)
+
+    def delta_only(batch: pa.Table) -> pa.Table:
+        """Today's rows: the exact/near duplicates noisy_documents injects
+        (id-shifted copies), WITHOUT the base corpus."""
+        did_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        exact = batch.filter(pa.array(did_np % EXACT_DUP_MOD == 0))
+        exact = pa.table({
+            "doc_id": pc.add(exact["doc_id"],
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": exact["text"],
+        })
+        near = batch.filter(pa.array(did_np % NEAR_DUP_MOD == 0))
+        near = pa.table({
+            "doc_id": pc.add(near["doc_id"],
+                             pa.scalar(2_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                near["text"], pa.scalar(NEAR_DUP_SUFFIX), ""),
+        })
+        return pa.concat_tables([exact, near])
+
+    delta = base.map_batches(delta_only, batch_format="pyarrow")
+    delta_hashed = add_content_hash(delta)
+
+    def delta_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["content_hash", "doc_id"]),
+                            ["content_hash"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["content_hash", "keep_id"])
+
+    merged = old_state.union(
+        delta_hashed.map_batches(delta_partial, batch_format="pyarrow"))
+
+    from ..util import hash_rollup
+
+    def min_merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["content_hash"]).aggregate(
+            [("keep_id", "min")])
+        return g.rename_columns(["content_hash", "keep_id"])
+
+    return hash_rollup(merged, ["content_hash"], min_merge,
+                       batch_format="pyarrow")

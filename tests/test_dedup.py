@@ -165,3 +165,21 @@ class TestSqlExactTwins:
         assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
         assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
         assert (got["hamming"].to_numpy() == want["hamming"].to_numpy()).all()
+
+
+class TestDedupIncremental:
+    def test_equals_full_recompute(self, ray_session):
+        from posm_ray.pipelines import textops
+        from posm_ray.stages.dedup import dedup_exact
+
+        sf = "/root/testdata/sf0.001"
+        inc = textops.dedup_incremental(sf).to_pandas() \
+            .sort_values("content_hash").reset_index(drop=True)
+        full = dedup_exact(textops.noisy_documents(sf)).to_pandas() \
+            .sort_values("content_hash").reset_index(drop=True)
+        assert inc.equals(full)
+        # the delta path contributed: some hash's winner is a base-corpus
+        # id that beat its injected copy, and near-dup hashes exist only
+        # in the delta (winner id >= 2_000_000)
+        assert (inc["keep_id"] >= 2_000_000).any()
+        assert (inc["keep_id"] < 1_000_000).any()
