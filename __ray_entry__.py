@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": textops.unigram_surprisal,
         "counting_median": textops.counting_median,
         "dedup_incremental": textops.dedup_incremental,
+        "range_partition": textops.range_partition,
         "cell_majority_label": vectors.cell_majority_label,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
@@ -1443,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": textops.unigram_surprisal_sql(),
         "counting_median": textops.COUNTING_MEDIAN_SQL,
         "dedup_incremental": textops.DEDUP_EXACT_SQL,
+        "range_partition": textops.range_partition_sql(),
         "cell_majority_label": _cell_majority_label_sql(),
         "ancestry": _ancestry_sql(),
         "ngram_jaccard": textops.NGRAM_JACCARD_SQL,

@@ -1730,3 +1730,83 @@ def dedup_incremental(sf_dir: str):
 
     return hash_rollup(merged, ["content_hash"], min_merge,
                        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# range partitioning (the distributed total-order primitive)
+# ---------------------------------------------------------------------------
+
+RANGE_BUCKETS = 8
+
+
+def range_partition(sf_dir: str, buckets: int = RANGE_BUCKETS):
+    """Assign every document a RANGE bucket by length — the split-point
+    computation behind any distributed sort / range-partitioned write.
+    Production sorts sample their split points; here the bounded value
+    domain lets the splits be EXACT order statistics (the counting-
+    histogram trick of :func:`counting_median`, globally), so bucket
+    assignment — and therefore the whole partitioner — has a bit-exact
+    SQL twin instead of a sampling tolerance.
+
+    Phase 1: per-block (n_chars, count) histograms -> one bounded merge
+    -> thresholds at ranks ceil(j*n/buckets); phase 2 broadcasts the
+    (buckets-1)-value split table via ray.put and assigns
+    ``bucket = #{thresholds < n_chars}`` vectorized (np.searchsorted).
+    Output (doc_id, n_chars, bucket); a range-partitioned write is
+    ``.write_parquet(partition_cols=['bucket'])`` on top."""
+    import ray
+
+    import ray.data as rd
+
+    from .relational import _merge_small
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_chars": pc.utf8_length(batch["text"])})
+        g = pa.TableGroupBy(t, ["n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "cnt"])
+
+    def splits(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("n_chars", sort=True)["cnt"].sum()
+        vals = g.index.to_numpy(dtype=np.int64)
+        cum = g.to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        ranks = [-(-j * n // buckets) for j in range(1, buckets)]  # ceil
+        thr = vals[np.searchsorted(cum, ranks)]
+        return pa.table({"j": pa.array(np.arange(1, buckets), pa.int64()),
+                         "thr": pa.array(thr, pa.int64())})
+
+    thr_ds = _merge_small(ds.map_batches(hist, batch_format="pyarrow"),
+                          splits)
+    thr = np.array([r["thr"] for r in thr_ds.take_all()], dtype=np.int64)
+    thr_ref = ray.put(np.sort(thr))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        n = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = np.searchsorted(t, n, side="left")  # = #{thr < n} given sort
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_chars": pa.array(n),
+                         "bucket": pa.array(b.astype(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def range_partition_sql(buckets: int = RANGE_BUCKETS) -> str:
+    return f"""
+WITH m AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents),
+r AS (SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM m),
+t AS (SELECT n_chars AS thr FROM r, (SELECT UNNEST(range(1, {buckets})) AS j)
+      -- ceil(j*n/buckets) via positive-operand division: DuckDB's //
+      -- TRUNCATES (unlike python's floor), so -((-x)//y) is floor, not ceil
+      WHERE rnk = (j * n + {buckets - 1}) // {buckets})
+SELECT m.doc_id, m.n_chars,
+       (SELECT COUNT(*) FROM t WHERE t.thr < m.n_chars)::BIGINT AS bucket
+FROM m
+"""

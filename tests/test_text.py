@@ -472,3 +472,25 @@ class TestCountingMedian:
             a = np.sort(sub["n"].to_numpy())
             assert out.loc[lang, "median_chars"] == a[(len(a) + 1) // 2 - 1]
             assert out.loc[lang, "n_docs"] == len(a)
+
+
+class TestRangePartition:
+    def test_buckets_are_balanced_and_ordered(self, ray_session):
+        import pandas as pd
+
+        from posm_ray.pipelines import textops
+
+        out = textops.range_partition("/root/testdata/sf0.001", buckets=4) \
+            .to_pandas()
+        assert set(out["bucket"]) <= set(range(4))
+        # range property: every doc in bucket b is <= every doc in b+1
+        maxes = out.groupby("bucket")["n_chars"].max()
+        mins = out.groupby("bucket")["n_chars"].min()
+        for b in range(int(out["bucket"].max())):
+            assert maxes[b] <= mins[b + 1]
+        # near-balance: exact quantile splits keep buckets within the
+        # duplicate-value slack of n/4 each
+        sizes = out.groupby("bucket").size()
+        n = len(out)
+        dup_slack = int(out["n_chars"].value_counts().max())
+        assert (sizes <= n // 4 + dup_slack).all()
