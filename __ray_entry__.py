@@ -195,30 +195,80 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Dict ORDER is the driver-visibility rotation (COVERAGE.md §rotation):
+    the correctness driver checks roughly the FIRST 50 entries in dict
+    order per round, so entries are ranked by how stale their last driver
+    check is — (1) queries never driver-checked in any round, (2) queries
+    green in r1 that fell out of the r2 window, (3) queries whose
+    implementation changed this round plus a stable flagship/boundary
+    core, (4) queries green in r2 and untouched since (re-verified locally
+    via jobs/check_oracles.py)."""
     return {
-        # flagship spatial path
+        # -- (1) never driver-checked before round 3 ----------------------
+        "drill_down": _q_drill_down,
+        "sliding_window": _q_sliding_window,
+        "stratified_sample": relational.stratified_sample,
+        "bloom_unseen": _q_bloom_unseen,
+        "raster_vectorize": _q_raster_vectorize,
+        "knn_geo_sharded": _q_knn_sharded,
+        "hll_register_sketch": _q_hll_registers,
+        "tile_pyramid": _q_tile_pyramid,
+        "surt_keys": _q_surt_keys,
+        "link_graph": _q_link_graph,
+        "pagerank_hosts": _q_pagerank_hosts,
+        "topology_arcs": _q_topology_arcs,
+        # -- (2) green in r1, dropped from the r2 window ------------------
+        "all_geom": _q_all_geom,
+        "simple_admin": _q_simple_admin,
+        "poly_export": _q_poly_export,
+        "resumable_tiles": _q_resumable_tiles,
+        "gadm_hierarchy": _q_gadm_hierarchy,
+        "sessionize": _q_sessionize,
+        "asof_prior_click": _q_asof,
+        "value_range_join": _q_range_join,
+        "props_k": _q_props_k,
+        "late_events": _q_late_events,
+        "type_revenue": relational.type_revenue,
+        "doc_sample": relational.doc_sample,
+        "s2_covering": _q_s2_covering,
+        "media_resize": _q_media_resize,
+        "minhash_clusters": _q_minhash_clusters,
+        "approx_distinct_domains": _q_hll_domains,
+        "raster_tiles": _q_raster_tiles,
+        # -- (3) changed in round 3 + stable flagship/boundary core -------
+        "ann_cosine_lsh": vectors.ann_lsh,
+        "ann_cosine_ivf": vectors.ann_ivf,
+        "embedding_dups_lsh": vectors.embedding_dups_lsh,
+        "chunk_dedup": textops.chunk_dedup,
+        "minhash_near_dups": textops.minhash_near_dups,
+        "simhash_near_dups": textops.simhash_near_dups,
         "pip_join_rows": _q_join_rows,
         "tiles_r7": _q_tiles,
-        "cell_assign": _q_cell_assign,
-        "snap_to_grid": _q_snap_to_grid,
-        # relational operator coverage (groupby/join/sort/filter/window)
+        "boundary_hierarchy": _q_boundary_hierarchy,
+        "boundary_discards": _q_boundary_discards,
+        "boundary_problems": _q_boundary_problems,
+        "ancestry": _q_ancestry,
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
         "region_rollup": relational.region_rollup,
         "order_priority": relational.order_priority,
         "events_hourly": relational.events_hourly,
-        # text / training-data ops
+        "dedup_exact": textops.dedup_exact_winners,
+        "dedup_exact_rows": textops.dedup_exact_surviving,
+        "dedup_incremental": textops.dedup_incremental,
+        "knn_geo": _q_knn_geo,
+        # -- (4) green in r2, untouched since (beyond the ~50 window; ----
+        #        re-verified locally each round via jobs/check_oracles.py)
+        "cell_assign": _q_cell_assign,
+        "snap_to_grid": _q_snap_to_grid,
         "token_counts": textops.token_counts,
         "pii_redact": textops.pii_redact,
         "repetition_stats": textops.repetition_stats,
         "quality_scores": textops.quality_scores,
         "quality_filter": textops.quality_filter,
-        "chunk_dedup": textops.chunk_dedup,
         "decontaminate": textops.decontaminate,
         "tfidf_terms": textops.tfidf_terms,
         "fingerprints": textops.fingerprints,
-        "dedup_exact": textops.dedup_exact_winners,
-        "dedup_exact_rows": textops.dedup_exact_surviving,
         "noisy_documents": textops.noisy_documents,
         "quality_quartiles": textops.quality_quartiles,
         "top_tokens": textops.top_tokens,
@@ -228,62 +278,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": textops.curation_pipeline,
         "unigram_surprisal": textops.unigram_surprisal,
         "counting_median": textops.counting_median,
-        "dedup_incremental": textops.dedup_incremental,
         "range_partition": textops.range_partition,
         "cell_majority_label": vectors.cell_majority_label,
         "ngram_jaccard": textops.ngram_jaccard,
         "embedding_dups": vectors.embedding_dups,
         "lang_quality": textops.lang_quality,
-        # heuristic / non-SQL ops (rows-only checks)
         "rolling_fingerprints": textops.rolling_fingerprints,
-        "minhash_near_dups": textops.minhash_near_dups,
-        "simhash_near_dups": textops.simhash_near_dups,
-        "knn_geo": _q_knn_geo,
         "ann_cosine": _q_ann_cosine,
-        "ann_cosine_lsh": vectors.ann_lsh,
-        "ann_cosine_ivf": vectors.ann_ivf,
-        "embedding_dups_lsh": vectors.embedding_dups_lsh,
-        # multimodal plumbing (deterministic fake codec; decode metadata is
-        # doc_id-derived, so decode + frame sampling ARE oracle-checked)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
-        # posm boundary-extraction semantics (deterministic fixture input;
-        # rows-only — WKB fixture not SQL-inlinable)
-        "boundary_hierarchy": _q_boundary_hierarchy,
-        "boundary_discards": _q_boundary_discards,
-        "boundary_problems": _q_boundary_problems,
-        "ancestry": _q_ancestry,
-        "all_geom": _q_all_geom,
-        "simple_admin": _q_simple_admin,
-        "poly_export": _q_poly_export,
-        "resumable_tiles": _q_resumable_tiles,
-        "gadm_hierarchy": _q_gadm_hierarchy,
-        "drill_down": _q_drill_down,
-        # event-stream custom operators (windowed aggregate / as-of / range)
-        "sessionize": _q_sessionize,
-        "asof_prior_click": _q_asof,
-        "value_range_join": _q_range_join,
-        "props_k": _q_props_k,
-        "late_events": _q_late_events,
-        "sliding_window": _q_sliding_window,
-        "type_revenue": relational.type_revenue,
-        "doc_sample": relational.doc_sample,
-        "stratified_sample": relational.stratified_sample,
-        "bloom_unseen": _q_bloom_unseen,
-        "raster_tiles": _q_raster_tiles,
-        "raster_vectorize": _q_raster_vectorize,
-        "knn_geo_sharded": _q_knn_sharded,
-        "s2_covering": _q_s2_covering,
-        "media_resize": _q_media_resize,
-        "minhash_clusters": _q_minhash_clusters,
-        "approx_distinct_domains": _q_hll_domains,
-        "hll_register_sketch": _q_hll_registers,
-        "tile_pyramid": _q_tile_pyramid,
-        "surt_keys": _q_surt_keys,
-        "link_graph": _q_link_graph,
-        "pagerank_hosts": _q_pagerank_hosts,
-        "topology_arcs": _q_topology_arcs,
     }
 
 
@@ -389,9 +393,10 @@ def _q_pagerank_hosts(sf_dir: str):
         return g.rename_columns(["src", "dst", "n"])
 
     e = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])         .map_batches(edges, batch_format="pyarrow")
-    # npartitions sizes the per-iteration exchanges; 4 fits the
-    # host-cardinality graph at test scale (the knob grows with nodes)
-    return graph_stage.pagerank(e, npartitions=4)
+    # per-block pre-counted edges are re-summed globally inside
+    # pagerank() before the floor split, so block layout cannot move
+    # the result (exchange width scales with the session by default)
+    return graph_stage.pagerank(e)
 
 
 def _pagerank_hosts_sql() -> str:
@@ -1272,6 +1277,26 @@ def _q_topology_arcs(sf_dir: str):
     })
 
 
+# Pinned golden for _q_topology_arcs: the fixture boundary tables are
+# deterministic and sf-independent, so the arc decomposition is a fixed
+# table — captured from a run verified against the arc-sharing/round-trip
+# pytests (tests/test_topology.py) and pinned here so any encoder
+# regression flips the driver check. Regenerate via
+# `python -c "import __ray_entry__ as e; print(e._q_topology_arcs('').to_pylist())"`.
+_TOPOLOGY_ARCS_GOLDEN: list[tuple[str, int, int, int]] = [
+    ("R1000", 4, 8, 4),
+    ("R2000", 4, 8, 4),
+    ("R3000", 4, 8, 4),
+]
+
+
+def _topology_arcs_sql() -> str:
+    rows = ", ".join(
+        f"('{c}', {f}, {a}, {s})" for c, f, a, s in _TOPOLOGY_ARCS_GOLDEN)
+    return ("SELECT * FROM (VALUES " + rows + ") AS "
+            "t(country, n_features, n_arcs, n_shared_arcs)")
+
+
 def _q_boundary_discards(sf_dir: str):
     from posm_ray.pipelines import boundary
     from posm_ray.sources import boundaries as bsrc2
@@ -1491,10 +1516,17 @@ def oracle_sql() -> dict[str, str]:
         "raster_vectorize": _raster_vectorize_sql(),
         "s2_covering": _s2_covering_sql(),
         "media_resize": _media_resize_sql(),
-        # Intentionally omitted (rows-only checks): minhash_* / simhash
-        # (hash pipelines not SQL-expressible), ann_cosine_lsh /
-        # ann_cosine_ivf / embedding_dups_lsh (approximate-by-design),
-        # media_embed (float vectors), poly_export / topology_arcs
-        # (geometry-valued; golden/pytest pinned), resumable_tiles
-        # (layout-dependent manifests), approx_distinct_domains (sketch).
+        # LSH/IVF scale paths: deterministic given the seed, so the seeded
+        # hyperplanes are inlined as DOUBLE[] literals and the bucket
+        # assignment + ranking replayed exactly (vectors.py §SQL twins)
+        "ann_cosine_lsh": vectors.ann_lsh_oracle_sql(),
+        "ann_cosine_ivf": vectors.ann_ivf_oracle_sql(),
+        "embedding_dups_lsh": vectors.embedding_dups_lsh_oracle_sql(),
+        "topology_arcs": _topology_arcs_sql(),
+        # Intentionally omitted (rows-only checks): poly_export (DuckDB's
+        # printf('%.6E') rounds half-boundary mantissas differently from C
+        # printf — byte parity impossible in SQL; golden pytest instead),
+        # resumable_tiles (layout-dependent manifests),
+        # approx_distinct_domains (HLL estimate — its register STATE is
+        # hash-checked via hll_register_sketch instead).
     }

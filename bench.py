@@ -173,8 +173,12 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     meter = _StealMeter()
     # the headline is the judge-facing metric: if the measurement window
     # had heavy hypervisor steal (shared VM — see BASELINE.md), retry up
-    # to STEAL_RETRIES times and keep the best attempt; every attempt's
-    # steal reading is reported so run context stays auditable
+    # to STEAL_RETRIES times. Selection is retry-until-CLEAN — the FIRST
+    # attempt whose steal reading is below the threshold wins; if no
+    # attempt is clean, the one with the LOWEST STEAL (not the lowest
+    # time) wins. Selecting on the steal reading rather than the timing
+    # avoids the min-of-N bias that would inflate the headline under
+    # symmetric noise; every attempt is reported so context is auditable.
     attempts = []
     headline_sec = docs = steal = None
     for _ in range(1 + max(STEAL_RETRIES, 0)):
@@ -182,7 +186,9 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         a_sec, a_docs = run_headline(sf_dir)
         a_steal = a_meter.pct()
         attempts.append({"sec": round(a_sec, 3), "steal_pct": a_steal})
-        if headline_sec is None or a_sec < headline_sec:
+        if (headline_sec is None
+                or (a_steal is not None and steal is not None
+                    and a_steal < steal)):
             headline_sec, docs, steal = a_sec, a_docs, a_steal
         if a_steal is None or a_steal <= STEAL_RETRY_PCT:
             break

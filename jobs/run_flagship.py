@@ -52,11 +52,12 @@ def main(argv=None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from posm_ray.pipelines import flagship
+    from posm_ray.pipelines import builder
 
+    cfg = builder.PipelineConfig(sf_dir=args.sf_dir, task="flagship",
+                                 replicate=args.replicate, out_dir=args.out)
     t0 = time.perf_counter()
-    result = flagship.tiles_resumable(args.sf_dir, args.out,
-                                      replicate=args.replicate)
+    result = builder.build(cfg)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "out": args.out,

@@ -60,7 +60,11 @@ def surt_host_sql(url: str) -> str:
 def surt_sql(url: str, host: str) -> str:
     """DuckDB expression: the full SURT key given the ``url`` column and a
     ``host`` expression (from :func:`surt_host_sql`)."""
-    rest = f"regexp_replace({url}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    # strip the fragment BEFORE extracting the query: a '?' inside the
+    # fragment (http://h/p#f?a=1) is not a query start — canonicalize()
+    # drops the fragment first, so the twin must too
+    rest = (f"regexp_replace(regexp_replace({url},"
+            f" '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '')")
     path = f"regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1)"
     query = f"regexp_extract({rest}, '\\?([^#]*)', 1)"
     sorted_q = (

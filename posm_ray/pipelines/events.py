@@ -56,7 +56,7 @@ def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN):
             "session_seq": seq.astype("int64"),
         })
 
-    return hash_rollup(ds, ["user_id"], per_part, npartitions=16)
+    return hash_rollup(ds, ["user_id"], per_part, npartitions=None)
 
 
 SESSIONIZE_SQL = f"""
@@ -113,7 +113,7 @@ def asof_prior_click(sf_dir: str):
             "prior_click": out["prior_click"].fillna(-1).astype("int64"),
         })
 
-    return hash_rollup(ds, ["user_id"], per_part, npartitions=16)
+    return hash_rollup(ds, ["user_id"], per_part, npartitions=None)
 
 
 ASOF_PRIOR_CLICK_SQL = """
@@ -227,7 +227,7 @@ def sliding_window_counts(sf_dir: str, window_min: int = SLIDE_WINDOW_MIN):
             "n_window": out,
         })
 
-    return hash_rollup(ds, ["user_id"], per_part, npartitions=16)
+    return hash_rollup(ds, ["user_id"], per_part, npartitions=None)
 
 
 SLIDING_WINDOW_SQL = f"""

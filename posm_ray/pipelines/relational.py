@@ -148,7 +148,7 @@ def top_customers(sf_dir: str, k: int = 10):
 
     agg = hash_rollup(
         orders.map_batches(partial, batch_format="pyarrow"),
-        ["o_custkey"], merge, npartitions=16)
+        ["o_custkey"], merge, npartitions=None)
 
     def finalize(batch: pa.Table) -> pa.Table:
         nm = ray.get(ref) if not isinstance(ref, dict) else ref

@@ -727,7 +727,7 @@ _CHUNK_NO_BITS = 20
 
 
 def chunk_dedup(sf_dir: str, *, chunk_words: int = CHUNK_WORDS,
-                npartitions: int = 16):
+                npartitions: int | None = None):
     """C4-style duplicate-chunk removal over the noisy corpus: segment each
     document into consecutive ``chunk_words``-word chunks, keep only the
     GLOBAL first occurrence of each distinct chunk (ordered by (doc_id,
@@ -780,7 +780,12 @@ def chunk_dedup(sf_dir: str, *, chunk_words: int = CHUNK_WORDS,
         ordv = (g["doc_id"].to_numpy(dtype=np.int64) << _CHUNK_NO_BITS) \
             + g["chunk_no"].to_numpy(dtype=np.int64)
         g = g.assign(ord=ordv)
-        win = g.groupby("chunk_hash", sort=False)["ord"].transform("min")
+        # Partition on chunk_hash (cheap 8-byte exchange key), but elect
+        # the winner per chunk TEXT — equal texts always share the hash so
+        # they are co-located, while two distinct chunks colliding on the
+        # 63-bit hash form separate groups instead of one silently
+        # deleting the other corpus-wide ('exact' oracle contract).
+        win = g.groupby("chunk", sort=False)["ord"].transform("min")
         kept = g[g["ord"] == win]
         return kept[["doc_id", "chunk_no", "chunk", "n_chunks"]]
 
@@ -1385,7 +1390,7 @@ CURATION_LANG_N = 50
 
 
 def curation_pipeline(sf_dir: str, *, host_k: int = CURATION_HOST_K,
-                      lang_n: int = CURATION_LANG_N, npartitions: int = 16):
+                      lang_n: int = CURATION_LANG_N, npartitions: int | None = None):
     """The composed training-data path a user of the engine actually runs,
     as ONE streaming pipeline over the noisy corpus:
 

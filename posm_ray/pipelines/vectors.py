@@ -137,19 +137,160 @@ WHERE list_cosine_similarity(x.embedding, y.embedding) >= {DUP_COS_THRESHOLD}
 def embedding_dups_lsh(sf_dir: str, threshold: float = DUP_COS_THRESHOLD):
     """The SCALE path for embedding near-dup: LSH-bucketed distributed
     pairs over the noisy table — no broadcast matrix, no O(N^2) matmul
-    (dedup.embedding_near_dups_lsh). Approximate by construction (recall
-    ~0.998 at this threshold; exact copies always found) -> rows-only
-    check; a pytest pins subset-of-brute-force + recall vs
-    ``embedding_dups``."""
+    (dedup.embedding_near_dups_lsh). Approximate relative to the
+    brute-force ``embedding_dups`` (recall ~0.998 at this threshold; exact
+    copies always found), but DETERMINISTIC given the seed — the seeded
+    hyperplanes are inlined as literals into the SQL twin
+    (:func:`embedding_dups_lsh_oracle_sql`), which replays bucket
+    assignment + cosine verify exactly, so the query is hash-checked, not
+    rows-only. A pytest additionally pins subset-of-brute-force + recall
+    vs ``embedding_dups``."""
     pairs = dedup_stage.embedding_near_dups_lsh(
         noisy_embeddings(sf_dir), threshold=threshold)
     return pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# -- SQL twins for the LSH/IVF paths ----------------------------------------
+#
+# The random-hyperplane LSH used by ``embedding_dups_lsh`` / ``ann_lsh`` is
+# deterministic given (dim, nplanes, ntables, seed): the planes are inlined
+# into the oracle as a 72-row VALUES table of DOUBLE[] literals (full-repr
+# floats round-trip exactly), and the signature replay is
+#   bucket(v, t) = sum_p [dot(v, plane[t, :, p]) > 0] * 2^p
+# with float64 dots on both sides (numpy einsum vs list_dot_product over
+# CAST(embedding AS DOUBLE[]) — sign-stable unless a dot lands within
+# accumulation error of zero, which random projections of real vectors do
+# not).
+
+_EMB_DIM = 64        # embeddings.embedding is list<float>[64] (TESTDATA.md)
+_LSH_NPLANES = 6
+_LSH_NTABLES = 12
+_LSH_SEED = 42
+
+
+def _planes_values_sql(dim: int = _EMB_DIM, nplanes: int = _LSH_NPLANES,
+                       ntables: int = _LSH_NTABLES,
+                       seed: int = _LSH_SEED) -> str:
+    """CTE body: planes(t, p, vec) — one DOUBLE[] row per (table, plane)."""
+    pl = dedup_stage._lsh_planes(dim, nplanes, ntables, seed)
+    rows = []
+    for t in range(ntables):
+        for p in range(nplanes):
+            vec = ", ".join(repr(float(v)) for v in pl[t, :, p])
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    return ("planes(t, p, vec) AS (SELECT * FROM (VALUES "
+            + ", ".join(rows) + "))")
+
+
+def _sig_sql(src: str) -> str:
+    """CTE body: sig(vec_id, t, bucket) over source CTE ``src``."""
+    return f"""sig AS (
+  SELECT s.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_dot_product(
+                    CAST(s.embedding AS DOUBLE[]), pl.vec) > 0
+                  THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM {src} s CROSS JOIN planes pl
+  GROUP BY s.vec_id, pl.t)"""
+
+
+def embedding_dups_lsh_oracle_sql(threshold: float = DUP_COS_THRESHOLD) -> str:
+    """Exact replay of the LSH near-dup path: pairs that (a) collide in at
+    least one of the 12 hyperplane tables AND (b) verify at cosine >=
+    threshold — i.e. the brute-force pair query filtered to the LSH
+    collision predicate (the output is a deterministic subset of
+    ``EMBEDDING_DUPS_SQL``)."""
+    return f"""
+WITH noisy AS ({NOISY_EMBEDDINGS_SQL}),
+{_planes_values_sql()},
+{_sig_sql('noisy')},
+collide AS (
+  SELECT DISTINCT sa.vec_id AS a, sb.vec_id AS b
+  FROM sig sa JOIN sig sb
+    ON sa.t = sb.t AND sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id)
+SELECT c.a, c.b
+FROM collide c
+JOIN noisy x ON x.vec_id = c.a
+JOIN noisy y ON y.vec_id = c.b
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= {threshold}
+"""
+
+
+def ann_lsh_oracle_sql(k: int = 5) -> str:
+    """Exact replay of ``ann_lsh``: per query (first 16 vectors), rank the
+    candidates sharing any (table, bucket) with it by (cosine DESC,
+    neighbor_id), keep the top k. Only (query_id, neighbor_id, rank) are
+    compared — same contract as the exact ``ann_cosine`` twin."""
+    return f"""
+WITH {_planes_values_sql()},
+{_sig_sql('embeddings')},
+q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+cand AS (
+  SELECT DISTINCT sq.vec_id AS query_id, se.vec_id AS neighbor_id
+  FROM sig sq JOIN sig se
+    ON sq.t = se.t AND sq.bucket = se.bucket
+   AND sq.vec_id <> se.vec_id
+  WHERE sq.vec_id IN (SELECT vec_id FROM q)),
+d AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(eq.embedding, en.embedding) AS cosine
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM d) WHERE rank <= {k}
+"""
+
+
+def ann_ivf_oracle_sql(k: int = 5, nlist: int = 16, nprobe: int = 6) -> str:
+    """Exact replay of ``ann_ivf`` (train_iters=0): centroids are the first
+    ``nlist`` vectors; every vector joins the inverted list of its
+    max-cosine centroid (lowest centroid index wins exact ties, matching
+    numpy argmax); each query scans its ``nprobe`` best lists; ranking is
+    (cosine DESC, neighbor_id)."""
+    return f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {nlist})),
+assign AS (
+  SELECT vec_id, c AS lst FROM (
+    SELECT e.vec_id, ct.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, ct.embedding)
+                        DESC, ct.c) AS rn
+    FROM embeddings e CROSS JOIN cents ct) WHERE rn = 1),
+q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+probe AS (
+  SELECT vec_id, c FROM (
+    SELECT q.vec_id, ct.c,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, ct.embedding)
+                        DESC, ct.c) AS rn
+    FROM q CROSS JOIN cents ct) WHERE rn <= {nprobe}),
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cosine
+  FROM q
+  JOIN probe p ON p.vec_id = q.vec_id
+  JOIN assign a ON a.lst = p.c
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM d) WHERE rank <= {k}
+"""
+
+
 def ann_lsh(sf_dir: str, k: int = 5, nplanes: int = 6,
             ntables: int = 12):
-    """LSH-bucketed ANN: first 16 vectors as queries (rows-only check —
-    approximate by construction)."""
+    """LSH-bucketed ANN: first 16 vectors as queries. Approximate relative
+    to exact ANN, but deterministic given the seeded hyperplanes — the
+    plane-literal SQL twin (:func:`ann_lsh_oracle_sql`) replays the bucket
+    assignment and ranking exactly, so this is hash-checked."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -168,8 +309,11 @@ def ann_lsh(sf_dir: str, k: int = 5, nplanes: int = 6,
 
 
 def ann_ivf(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 6):
-    """IVF-bucketed ANN: first 16 vectors as queries (rows-only check —
-    approximate by construction)."""
+    """IVF-bucketed ANN: first 16 vectors as queries. Runs with
+    ``train_iters=0`` (centroids = normalized first ``nlist`` vectors) so
+    the inverted-list scan structure is exactly replayable in SQL
+    (:func:`ann_ivf_oracle_sql`) and the query is hash-checked; Lloyd
+    refinement quality is covered by pytest on the trained variant."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -182,12 +326,13 @@ def ann_ivf(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 6):
         "id": head["vec_id"].to_numpy(),
         "mat": np.asarray(head["embedding"].to_pylist(), dtype=np.float64),
     }
-    out = knn.ann_cosine_ivf(emb, queries, k=k, nlist=nlist, nprobe=nprobe)
+    out = knn.ann_cosine_ivf(emb, queries, k=k, nlist=nlist, nprobe=nprobe,
+                             train_iters=0)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def cell_majority_label(sf_dir: str, *, cell_col: str = "cell_r7",
-                        npartitions: int = 16):
+                        npartitions: int | None = None):
     """Geo × vector-table fusion: the majority embedding label per tile
     cell (count desc, min label tie-break) — the 'what does this map cell
     mostly contain' rollup a curation dashboard asks after docs are both

@@ -30,7 +30,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _url_probes(urls: list[str | None], m_bits: int, k: int) -> np.ndarray:
@@ -84,7 +83,7 @@ def _test_bloom(bits: np.ndarray, urls: list[str | None], m_bits: int,
 
 def bloom_unseen(new_ds, seen_ds, *, url_col: str = "url",
                  id_col: str = "doc_id", m_bits: int = 1 << 20, k: int = 4,
-                 npartitions: int = 16):
+                 npartitions: int | None = None):
     """Exact anti-join of ``new_ds`` against ``seen_ds`` urls with a Bloom
     prefilter: negatives stream straight through, positives confirm via a
     tagged-union co-partition on url. Returns (id_col, url) of rows whose
@@ -96,31 +95,26 @@ def bloom_unseen(new_ds, seen_ds, *, url_col: str = "url",
     bits = build_bloom(seen_ds, url_col=url_col, m_bits=m_bits, k=k)
     bits_ref = ray.put(bits)
 
-    def split(b: pa.Table, *, bref=bits_ref) -> pa.Table:
+    # The bitmap test runs independently in EACH branch (two streaming
+    # passes over new_ds) instead of materializing a tested intermediate:
+    # at crawl-frontier scale that intermediate IS the corpus, and the
+    # repo rule is to materialize only sketch-size aggregates. The test
+    # itself is a cheap vectorized probe against the broadcast bitmap.
+    def negatives_only(b: pa.Table, *, bref=bits_ref) -> pa.Table:
         bm = bref if isinstance(bref, np.ndarray) else ray.get(bref)
-        urls = b.column(url_col).to_pylist()
-        pos = _test_bloom(bm, urls, m_bits, k)
-        return pa.table({
-            id_col: b[id_col],
-            "url": b[url_col],
-            "candidate": pa.array(pos),
-        })
-
-    # materialized: feeds both the fast path and the confirm path (repo
-    # convention for 2-consumer intermediates; blocks spill, never driver)
-    tested = new_ds.map_batches(split, batch_format="pyarrow").materialize()
-
-    def negatives_only(b: pa.Table) -> pa.Table:
-        sel = b.filter(pc.invert(b.column("candidate")))
-        return pa.table({id_col: sel[id_col], "url": sel["url"]})
+        pos = _test_bloom(bm, b.column(url_col).to_pylist(), m_bits, k)
+        sel = b.filter(pa.array(~pos))
+        return pa.table({id_col: sel[id_col], "url": sel[url_col]})
 
     # definite-unseen fast path: no shuffle
-    negatives = tested.map_batches(negatives_only, batch_format="pyarrow")
+    negatives = new_ds.map_batches(negatives_only, batch_format="pyarrow")
 
-    def tag_new(b: pa.Table) -> pa.Table:
-        sel = b.filter(b.column("candidate"))
+    def tag_new(b: pa.Table, *, bref=bits_ref) -> pa.Table:
+        bm = bref if isinstance(bref, np.ndarray) else ray.get(bref)
+        pos = _test_bloom(bm, b.column(url_col).to_pylist(), m_bits, k)
+        sel = b.filter(pa.array(pos))
         return pa.table({
-            "url": sel["url"],
+            "url": sel[url_col],
             id_col: sel[id_col],
             "side": pa.array(np.zeros(sel.num_rows, dtype=np.int8)),
         })
@@ -132,7 +126,7 @@ def bloom_unseen(new_ds, seen_ds, *, url_col: str = "url",
             "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
         })
 
-    tagged = tested.map_batches(tag_new, batch_format="pyarrow").union(
+    tagged = new_ds.map_batches(tag_new, batch_format="pyarrow").union(
         seen_ds.map_batches(tag_seen, batch_format="pyarrow"))
 
     def anti(g: pd.DataFrame) -> pa.Table:

@@ -59,7 +59,7 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def dedup_exact_rows(ds, id_col: str = "doc_id", text_col: str = "text",
-                     *, npartitions: int = 16):
+                     *, npartitions: int | None = None):
     """Full surviving rows (min-id winner per distinct text): ONE hash
     exchange of the rows on content_hash, then a vectorized per-partition
     keep of ``id == min(id) per hash``. No driver keep-set, no per-row
@@ -113,10 +113,26 @@ class _MinHashBands:
         })
 
 
+# Per-bucket pair-generation cap: a degenerate LSH bucket (mass-identical
+# boilerplate — empty pages, parked domains — lands identical signatures in
+# ONE bucket) would otherwise emit C(n,2) pairs in a single partition.
+# Beyond the cap, members star-pair to the bucket's min id: connectivity
+# through the hub is preserved, so the downstream label-propagation
+# clustering is unchanged whenever the capped pairs verify (always true for
+# the identical-text buckets that cause the blowup). Sized so that normal
+# corpora (bucket sizes « 256) never trigger it — pair output, and thus the
+# oracle hash, is identical below the cap.
+MINHASH_BUCKET_CAP = 256
+
+
 def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
-                            shingle_width: int = 5, concurrency=None):
+                            shingle_width: int = 5, concurrency=None,
+                            bucket_cap: int = MINHASH_BUCKET_CAP):
     """Docs sharing any LSH band bucket -> candidate pairs (a < b),
-    deduplicated across bands via a second groupby."""
+    deduplicated across bands via a second groupby. Buckets larger than
+    ``bucket_cap`` emit full pairs among the first ``bucket_cap`` members
+    plus a star to the min id for the rest — O(cap^2 + n) pairs per
+    bucket, never O(n^2)."""
     kwargs = dict(batch_format="pyarrow", batch_size=2048,
                   fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
                                              shingle_width=shingle_width),
@@ -129,11 +145,17 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         out_a, out_b = [], []
         for _, g in part.groupby(["band_id", "band_hash"], sort=False):
             ids = np.sort(g["doc_id"].unique())
-            if len(ids) < 2:
+            m = len(ids)
+            if m < 2:
                 continue
-            ai, bi = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ai])
-            out_b.append(ids[bi])
+            head = ids[: min(m, bucket_cap)]
+            ai, bi = np.triu_indices(len(head), k=1)
+            out_a.append(head[ai])
+            out_b.append(head[bi])
+            if m > bucket_cap:  # star the overflow to the hub (min id)
+                tail = ids[bucket_cap:]
+                out_a.append(np.full(len(tail), ids[0], dtype=np.int64))
+                out_b.append(tail)
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})
@@ -187,7 +209,7 @@ def verify_jaccard_pairs_distributed(pairs_ds, docs_ds, *,
                                      threshold: float = 0.5, ngram: int = 5,
                                      id_col: str = "doc_id",
                                      text_col: str = "text",
-                                     npartitions: int = 16):
+                                     npartitions: int | None = None):
     """Distributed exact n-gram Jaccard over candidate pairs — NOTHING
     materializes on the driver (the old ``verify_jaccard_pairs`` collected
     all candidate pairs + texts into a driver dict; at corpus scale neither
@@ -287,7 +309,7 @@ def verify_jaccard_pairs_distributed(pairs_ds, docs_ds, *,
 
 
 def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
-                                  npartitions: int = 16):
+                                  npartitions: int | None = None):
     """Distributed connected components over verified pairs: iterative
     min-label propagation (label(x) ← min(label(x), min label of x's
     neighbors)) to a fixpoint. Labels only ever decrease, so the global
@@ -417,6 +439,12 @@ def near_dup_clusters(verified_pairs: pd.DataFrame) -> dict[int, int]:
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+# Upper-triangle tile edge for the per-bucket pairwise verifies (simhash
+# hamming matrix, embedding-LSH cosine matrix): bounds peak memory at
+# O(tile^2) per block regardless of bucket size.
+_SIMHASH_TILE = 1024
+
+
 def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
                   ntables: int = 1,
                   id_col: str = "doc_id", text_col: str = "text"):
@@ -458,7 +486,11 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
     def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
         """Vectorized hamming verify: per bucket, pairwise XOR over the
         uint64 signature array + byte-table popcount — no python pair loop
-        (a hot prefix bucket stays O(bucket^2) *numpy* work, not python)."""
+        (a hot prefix bucket stays O(bucket^2) *numpy* work, not python).
+        The XOR/popcount matrix is TILED (``_SIMHASH_TILE`` x
+        ``_SIMHASH_TILE`` upper-triangle blocks) so a degenerate hot-prefix
+        bucket costs O(tile^2) memory, never O(bucket^2) — compute stays
+        O(bucket^2) by semantics (exact pairwise verify), memory does not."""
         out_a, out_b, out_h = [], [], []
         for _, g in part.groupby(["tbl", "bucket"], sort=False):
             order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
@@ -467,16 +499,25 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
             m = len(ids)
             if m < 2:
                 continue
-            ai, bi = np.triu_indices(m, k=1)
-            x = sig[ai] ^ sig[bi]
-            # popcount via unpackbits over the raw bytes (numpy<2 has no
-            # bitwise_count)
-            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                                axis=1).sum(axis=1).astype(np.int64)
-            hit = ham <= max_hamming
-            out_a.append(ids[ai[hit]])
-            out_b.append(ids[bi[hit]])
-            out_h.append(ham[hit])
+            C = _SIMHASH_TILE
+            for i0 in range(0, m, C):
+                i1 = min(i0 + C, m)
+                for j0 in range(i0, m, C):
+                    j1 = min(j0 + C, m)
+                    x = sig[i0:i1, None] ^ sig[None, j0:j1]
+                    # popcount via unpackbits over the raw bytes (numpy<2
+                    # has no bitwise_count)
+                    ham = np.unpackbits(
+                        x.view(np.uint8).reshape(i1 - i0, j1 - j0, 8),
+                        axis=2).sum(axis=2).astype(np.int64)
+                    hit = (ham <= max_hamming) \
+                        & (np.arange(j0, j1)[None, :]
+                           > np.arange(i0, i1)[:, None])
+                    ri, ci = np.nonzero(hit)
+                    if len(ri):
+                        out_a.append(ids[ri + i0])
+                        out_b.append(ids[ci + j0])
+                        out_h.append(ham[ri, ci])
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),
@@ -512,7 +553,7 @@ def _lsh_planes(dim: int, nplanes: int, ntables: int, seed: int) -> np.ndarray:
 
 def embedding_near_dups_lsh(embeddings, *, threshold: float = 0.9,
                             nplanes: int = 6, ntables: int = 12,
-                            seed: int = 42, npartitions: int = 16):
+                            seed: int = 42, npartitions: int | None = None):
     """Embedding-cosine near-dup at corpus scale: NO broadcast of the
     vector matrix, no O(N^2) matmul (the brute-force ``embedding_dups``
     baseline needs both). Random-hyperplane LSH buckets each vector into
@@ -551,9 +592,12 @@ def embedding_near_dups_lsh(embeddings, *, threshold: float = 0.9,
     bucketed = embeddings.map_batches(explode, batch_format="pyarrow")
 
     def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
+        # cosine matrix tiled like the simhash hamming verify: O(tile^2)
+        # memory per block even for a degenerate mass-duplicate bucket
         out_a, out_b = [], []
         for _, g in part.groupby(["tbl", "bucket"], sort=False):
-            if len(g) < 2:
+            m = len(g)
+            if m < 2:
                 continue
             order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
             ids = g["vec_id"].to_numpy()[order]
@@ -562,10 +606,19 @@ def embedding_near_dups_lsh(embeddings, *, threshold: float = 0.9,
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             matn = mat / norms
-            sims = matn @ matn.T
-            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-            out_a.append(ids[ai])
-            out_b.append(ids[bi])
+            C = _SIMHASH_TILE
+            for i0 in range(0, m, C):
+                i1 = min(i0 + C, m)
+                for j0 in range(i0, m, C):
+                    j1 = min(j0 + C, m)
+                    sims = matn[i0:i1] @ matn[j0:j1].T
+                    hit = (sims >= threshold) \
+                        & (np.arange(j0, j1)[None, :]
+                           > np.arange(i0, i1)[:, None])
+                    ri, ci = np.nonzero(hit)
+                    if len(ri):
+                        out_a.append(ids[ri + i0])
+                        out_b.append(ids[ci + j0])
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})

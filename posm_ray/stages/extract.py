@@ -136,7 +136,7 @@ class LinkExtract:
         return g.rename_columns(["host", "path", "n_in"])
 
 
-def link_graph(pages, *, concurrency=None, npartitions: int = 16):
+def link_graph(pages, *, concurrency=None, npartitions: int | None = None):
     """In-degree per link target over the crawl: parse hrefs from the raw
     html in an actor pool, pre-count per block, ONE hash exchange on the
     (host, path) target key, vectorized sum per partition. The web

@@ -35,7 +35,7 @@ PAGERANK_ITERS = 10
 
 
 def pagerank(edges, *, n_iter: int = PAGERANK_ITERS,
-             npartitions: int = 16):
+             npartitions: int | None = None):
     """edges Dataset (src:int64, dst:int64, n:int64 multiplicity) ->
     Dataset (node:int64, r:int64) after ``n_iter`` synchronous iterations.
 
@@ -48,7 +48,18 @@ def pagerank(edges, *, n_iter: int = PAGERANK_ITERS,
     flow source, once as the node list for the teleport term)."""
     from ..util import hash_rollup
 
-    edges = edges.materialize()
+    # Normalize to ONE row per (src, dst): producers pre-count per read
+    # block, so the same edge can arrive as several partial-n rows — and
+    # sum(floor(r*n_i/wt)) != floor(r*sum(n_i)/wt). The floor split must
+    # happen once per globally-summed edge (exactly what the SQL twin's
+    # grouped edge table does), else results depend on block layout.
+    def sum_pairs(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["src", "dst"]).aggregate([("n", "sum")])
+        return g.rename_columns(["src", "dst", "n"])
+
+    edges = hash_rollup(edges, ["src", "dst"], sum_pairs,
+                        npartitions=npartitions,
+                        batch_format="pyarrow").materialize()
 
     # node set = distinct src ∪ dst (teleport applies to every node)
     def node_halves(b: pa.Table) -> pa.Table:
@@ -140,7 +151,10 @@ def pagerank_sql(edges_sql: str, *, n_iter: int = PAGERANK_ITERS) -> str:
     the Ray kernel."""
     tel = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
     parts = [
-        f"e AS ({edges_sql})",
+        # one row per (src, dst), mirroring pagerank()'s edge
+        # normalization: the floor split happens once per summed edge
+        f"e AS (SELECT src, dst, SUM(n) AS n FROM ({edges_sql})"
+        " GROUP BY src, dst)",
         "w AS (SELECT src, SUM(n) AS wt FROM e GROUP BY src)",
         "nodes AS (SELECT DISTINCT src AS node FROM e"
         " UNION SELECT DISTINCT dst FROM e)",

@@ -105,7 +105,7 @@ def knn_exact(candidates, queries: dict, *, k: int = 5, id_col: str = "doc_id",
                   concurrency=concurrency if concurrency is not None else default_pool())
     partial = candidates.map_batches(_PartialTopK, **kwargs)
     return hash_rollup(partial, ["query_id"], _merge_topk(k, exclude_self),
-                       npartitions=4)
+                       npartitions=None)
 
 
 def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
@@ -195,7 +195,7 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
 
     from ..util import hash_rollup
 
-    return hash_rollup(sharded, ["shard"], per_part, npartitions=8)
+    return hash_rollup(sharded, ["shard"], per_part, npartitions=None)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +260,7 @@ def ann_cosine_exact(embeddings, queries: dict, *, k: int = 5,
     return hash_rollup(
         partial, ["query_id"],
         _merge_topk(k, exclude_self, by="cosine", ascending=False),
-        npartitions=4)
+        npartitions=None)
 
 
 def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
@@ -342,7 +342,7 @@ def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
         g = g.drop_duplicates(subset=["query_id", "neighbor_id"])
         return _merge_topk(k, True, by="cosine", ascending=False)(g)
 
-    return hash_rollup(partial, ["query_id"], merge, npartitions=4)
+    return hash_rollup(partial, ["query_id"], merge, npartitions=None)
 
 
 def _spherical_kmeans(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
@@ -363,12 +363,19 @@ def _spherical_kmeans(sample: np.ndarray, nlist: int, iters: int = 10) -> np.nda
 
 
 def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
-                   nprobe: int = 4, train_sample: int = 1024):
+                   nprobe: int = 4, train_sample: int = 1024,
+                   train_iters: int = 10):
     """IVF-style ANN (the second scale path next to LSH): coarse centroids
     trained driver-side on a bounded sample (spherical k-means,
     deterministic init), broadcast; every vector belongs to its nearest
     centroid's inverted list, and each query scans only its ``nprobe``
     nearest lists. Approximate — recall grows with nprobe/nlist ratio.
+
+    ``train_iters=0`` skips Lloyd refinement: centroids are then exactly
+    the (normalized) first ``nlist`` sample vectors, which makes the whole
+    scan structure (inverted lists, nprobe, ranking) replayable in SQL —
+    the driver-checked ``ann_cosine_ivf`` query uses that mode so the
+    oracle is exact; refinement quality is pytest territory.
 
     Scale shape: the centroid matrix is tiny and broadcast once; candidates
     stream through map_batches with a per-batch (assign -> mask -> matmul);
@@ -381,7 +388,8 @@ def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
 
     sample_tbl = embeddings.limit(train_sample).to_pandas()
     sample = np.asarray(list(sample_tbl["embedding"]), dtype=np.float64)
-    cents = _spherical_kmeans(sample, min(nlist, len(sample)))
+    cents = _spherical_kmeans(sample, min(nlist, len(sample)),
+                              iters=train_iters)
 
     qmat = queries["mat"].astype(np.float64)
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
@@ -420,4 +428,4 @@ def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
     partial = embeddings.map_batches(per_batch, batch_format="pyarrow")
     return hash_rollup(partial, ["query_id"],
                        _merge_topk(k, True, by="cosine", ascending=False),
-                       npartitions=4)
+                       npartitions=None)

@@ -3,19 +3,41 @@
 from __future__ import annotations
 
 
-def hash_rollup(ds, keys: list[str], merge_fn, *, npartitions: int = 16,
+def default_npartitions(scale: float = 1.0, floor: int = 8) -> int:
+    """Hash-exchange partition count scaled to the session: ``scale`` ×
+    cluster CPUs, never below ``floor``. A literal per-box default (16)
+    under-partitions a multi-node cluster — at 100× data that is ~TB
+    blocks per partition — so every exchange derives its width from
+    ``ray.cluster_resources()`` the same way ``default_pool`` sizes actor
+    pools. Partitioning only co-locates keys; merge results are
+    partition-count-independent, so oracle hashes do not move with this."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            n = int(ray.cluster_resources().get("CPU", 4))
+            return max(floor, int(n * scale))
+    except Exception:
+        pass
+    return 16
+
+
+def hash_rollup(ds, keys: list[str], merge_fn, *, npartitions: int | None = None,
                 batch_format: str = "pandas"):
     """The engine's aggregation primitive: hash-co-locate rows on ``keys``
     (one all-to-all, HASH_SHUFFLE), then ONE vectorized ``merge_fn`` call
     per partition block. Replaces groupby().map_groups (python call per
     group — seconds at 10k+ groups) and chained sort-aggregates.
-    ``npartitions`` is the scale knob: size it ~ cluster cores; skewed keys
-    spread by the hash, and a single mega-key still bounds at one
-    partition's rows — pre-reduce per block upstream before calling this.
+    ``npartitions`` (default: ``default_npartitions()`` = ~cluster CPUs)
+    is the scale knob; skewed keys spread by the hash, and a single
+    mega-key still bounds at one partition's rows — pre-reduce per block
+    upstream before calling this.
 
     ``batch_format="pyarrow"`` + an Arrow-native ``merge_fn``
     (pa.TableGroupBy) skips the Arrow->pandas->Arrow conversion tax; the
     hot rollups (tiles, raster, dedup_exact, top_tokens counts) use it."""
+    if npartitions is None:
+        npartitions = default_npartitions()
     return ds.repartition(npartitions, keys=keys).map_batches(
         merge_fn, batch_format=batch_format, batch_size=None)
 

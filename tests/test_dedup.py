@@ -67,6 +67,59 @@ class TestDistributedClusters:
         assert (out["cluster_rep"] == 1).all()
 
 
+class TestDegenerateBucketCap:
+    """A mass-duplicate corpus (identical boilerplate -> identical minhash
+    signatures in ONE bucket per band) must not explode into C(n,2)
+    candidate pairs — and the star-pairing fallback must still produce the
+    same single cluster with the min-id representative."""
+
+    N = 60
+    CAP = 8
+
+    def _docs(self):
+        import ray.data as rd
+
+        text = "parked domain placeholder page contact the registrar now"
+        return rd.from_items(
+            [{"doc_id": i + 100, "text": text} for i in range(self.N)])
+
+    def test_pair_count_bounded_and_cluster_exact(self, ray_session):
+        from posm_ray.stages import dedup
+
+        pairs = dedup.minhash_candidate_pairs(
+            self._docs(), bucket_cap=self.CAP).materialize()
+        n_pairs = pairs.count()
+        # O(cap^2 + n), never C(n, 2)
+        full = self.N * (self.N - 1) // 2
+        star = self.CAP * (self.CAP - 1) // 2 + (self.N - self.CAP)
+        assert n_pairs == star < full
+        # identical texts: every candidate verifies at jaccard 1.0, and the
+        # star topology keeps the component connected through the hub
+        verified = dedup.verify_jaccard_pairs_distributed(
+            pairs, self._docs(), threshold=0.9)
+        out = dedup.near_dup_clusters_distributed(verified).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(101, 100 + self.N))
+        assert (out["cluster_rep"] == 100).all()
+
+    def test_uncapped_pairs_identical_below_cap(self, ray_session):
+        """Buckets smaller than the cap produce byte-identical pair sets
+        with and without the cap parameter (the sf corpora stay below it,
+        so oracle hashes cannot move)."""
+        import ray.data as rd
+
+        from posm_ray.stages import dedup
+
+        docs = rd.from_items(
+            [{"doc_id": i, "text": f"shared prefix shingle text {i % 3}"}
+             for i in range(12)])
+        a = dedup.minhash_candidate_pairs(
+            docs, bucket_cap=dedup.MINHASH_BUCKET_CAP).to_pandas()
+        b = dedup.minhash_candidate_pairs(docs, bucket_cap=10**9).to_pandas()
+        a = a.sort_values(["a", "b"]).reset_index(drop=True)
+        b = b.sort_values(["a", "b"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
+
+
 class TestDedupExactRows:
     def test_matches_qualify_oracle(self, ray_session):
         from posm_ray.pipelines import textops

@@ -336,3 +336,28 @@ class TestPagerank:
         # every node keeps at least the teleport floor; node 3 (no
         # in-edges) sits exactly on it
         assert min(got.values()) == got[3] == tel
+
+    def test_block_layout_invariant(self, ray_session):
+        """The same (src, dst) edge arriving as several partial-count rows
+        (per-block pre-counting upstream) must produce the identical rank
+        table as the pre-summed edge list: the floor split happens once
+        per globally-summed edge, not per partial row."""
+        import ray.data as rd
+
+        from posm_ray.stages import graph as g
+
+        summed = [(0, 1, 3), (1, 2, 2), (2, 0, 1), (0, 2, 2)]
+        # split every edge's multiplicity across two "blocks"
+        split = []
+        for s, d, n in summed:
+            split.append((s, d, n - 1))
+            split.append((s, d, 1))
+        ds_sum = rd.from_items(
+            [{"src": s, "dst": d, "n": n} for s, d, n in summed])
+        ds_split = rd.from_items(
+            [{"src": s, "dst": d, "n": n} for s, d, n in split if n > 0])
+        a = {r["node"]: r["r"]
+             for r in g.pagerank(ds_sum, n_iter=3, npartitions=2).take_all()}
+        b = {r["node"]: r["r"]
+             for r in g.pagerank(ds_split, n_iter=3, npartitions=3).take_all()}
+        assert a == b

@@ -293,6 +293,11 @@ class TestSurtCanonicalize:
         "https://single/",
         "",
         "https://example.test/page?",
+        # '?' inside the fragment is NOT a query start — the twin must
+        # strip the fragment before extracting the query
+        "http://h.test/p#f?a=1",
+        "https://h.test/p?real=1#frag?fake=2",
+        "https://h.test/#?only-in-frag",
     ]
 
     def test_sql_twin_on_adversarial_urls(self):
