@@ -23,6 +23,15 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
+def _gb(t: pa.Table, keys: list[str], aggs: list, names: list[str]) -> pa.Table:
+    """Arrow-native grouped aggregate with explicit output names: keys come
+    first in pyarrow's TableGroupBy result, then the aggregates in call
+    order. Replaces the pandas round-trip the partials used before — no
+    Arrow->pandas->Arrow conversion tax in the per-batch combiners."""
+    g = pa.TableGroupBy(t, keys).aggregate(aggs)
+    return g.rename_columns(keys + names)
+
+
 def _merge_small(partials, merge_fn):
     """Final combine for BOUNDED-cardinality aggregates: the per-batch
     partials are already reduced to (few groups x num blocks) rows, so the
@@ -60,25 +69,23 @@ def pricing_summary(sf_dir: str):
             pc.subtract(pa.scalar(1.0), batch["l_discount"]),
         )
         disc_e4 = pc.cast(pc.round(pc.multiply(disc_price, pa.scalar(10000.0))), pa.int64())
-        df = pa.table({
+        t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
             "qty_c": qty_c, "price_c": price_c, "disc_e4": disc_e4,
-        }).to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
-            disc_e4=("disc_e4", "sum"), n=("qty_c", "size"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        })
+        return _gb(t, ["l_returnflag", "l_linestatus"],
+                   [("qty_c", "sum"), ("price_c", "sum"),
+                    ("disc_e4", "sum"), ([], "count_all")],
+                   ["qty_c", "price_c", "disc_e4", "n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(batch: pa.Table) -> pa.Table:
-        g = batch.to_pandas().groupby(
-            ["l_returnflag", "l_linestatus"], sort=False).agg(
-            qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
-            disc_e4=("disc_e4", "sum"), count_order=("n", "sum")).reset_index()
-        batch = pa.Table.from_pandas(g, preserve_index=False)
+        batch = _gb(batch, ["l_returnflag", "l_linestatus"],
+                    [("qty_c", "sum"), ("price_c", "sum"),
+                     ("disc_e4", "sum"), ("n", "sum")],
+                    ["qty_c", "price_c", "disc_e4", "count_order"])
         qty = pc.divide(pc.cast(batch["qty_c"], pa.float64()), pa.scalar(100.0))
         price = pc.divide(pc.cast(batch["price_c"], pa.float64()), pa.scalar(100.0))
         disc = pc.divide(pc.cast(batch["disc_e4"], pa.float64()), pa.scalar(10000.0))
@@ -129,26 +136,25 @@ def top_customers(sf_dir: str, k: int = 10):
                              columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pa.table({
+        t = pa.table({
             "o_custkey": batch["o_custkey"],
             "price_c": _cents(batch["o_totalprice"]),
-        }).to_pandas()
-        g = df.groupby("o_custkey", sort=False).agg(
-            price_c=("price_c", "sum"), n=("price_c", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        })
+        return _gb(t, ["o_custkey"],
+                   [("price_c", "sum"), ([], "count_all")], ["price_c", "n"])
 
     # partials are pre-reduced (one row per custkey per block); hash-exchange
     # on custkey, vectorized per-partition merge (unbounded key cardinality
     # -> real shuffle, npartitions is the scale knob)
     from ..util import hash_rollup
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("o_custkey", sort=False).agg(
-            price_c=("price_c", "sum"), n_orders=("n", "sum")).reset_index()
+    def merge(t: pa.Table) -> pa.Table:
+        return _gb(t, ["o_custkey"], [("price_c", "sum"), ("n", "sum")],
+                   ["price_c", "n_orders"])
 
     agg = hash_rollup(
         orders.map_batches(partial, batch_format="pyarrow"),
-        ["o_custkey"], merge, npartitions=None)
+        ["o_custkey"], merge, npartitions=None, batch_format="pyarrow")
 
     def finalize(batch: pa.Table) -> pa.Table:
         nm = ray.get(ref) if not isinstance(ref, dict) else ref
@@ -197,22 +203,24 @@ def region_rollup(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         maps = ray.get(ref) if not isinstance(ref, tuple) else ref
         n2r_, r2name_ = maps
-        nk = batch["c_nationkey"].to_pylist()
-        rname = [r2name_[n2r_[int(x)]] for x in nk]
-        df = pa.table({
-            "r_name": pa.array(rname, pa.string()),
+        # dims are tiny (25 nations): vectorized lookup via a dense
+        # nationkey->region-name array instead of a per-row dict probe
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        lut = np.empty(max(n2r_) + 1, dtype=object)
+        for key, rk in n2r_.items():
+            lut[key] = r2name_[rk]
+        t = pa.table({
+            "r_name": pa.array(lut[nk], pa.string()),
             "bal_c": _cents(batch["c_acctbal"]),
-        }).to_pandas()
-        g = df.groupby("r_name", sort=False).agg(
-            bal_c=("bal_c", "sum"), n=("bal_c", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        })
+        return _gb(t, ["r_name"], [("bal_c", "sum"), ([], "count_all")],
+                   ["bal_c", "n"])
 
     partials = cust.map_batches(partial, batch_format="pyarrow")
 
     def merge(batch: pa.Table) -> pa.Table:
-        g = batch.to_pandas().groupby("r_name", sort=False).agg(
-            bal_c=("bal_c", "sum"), n_customers=("n", "sum")).reset_index()
-        batch = pa.Table.from_pandas(g, preserve_index=False)
+        batch = _gb(batch, ["r_name"], [("bal_c", "sum"), ("n", "sum")],
+                    ["bal_c", "n_customers"])
         return pa.table({
             "r_name": batch["r_name"],
             "n_customers": batch["n_customers"],
@@ -247,14 +255,11 @@ def order_priority(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["o_orderpriority"]).to_pandas() \
-            .groupby("o_orderpriority", sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _gb(batch.select(["o_orderpriority"]), ["o_orderpriority"],
+                   [([], "count_all")], ["n"])
 
     def merge(batch: pa.Table) -> pa.Table:
-        g = batch.to_pandas().groupby("o_orderpriority", sort=False)["n"] \
-            .sum().reset_index(name="n_orders")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _gb(batch, ["o_orderpriority"], [("n", "sum")], ["n_orders"])
 
     return _merge_small(ds.map_batches(partial, batch_format="pyarrow"), merge)
 
@@ -279,26 +284,25 @@ def events_hourly(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        df = pa.table({
+        t = pa.table({
             "event_type": batch["event_type"],
             "hour": hour,
             "value_c": _cents(batch["value"]),
-        }).to_pandas()
-        g = df.groupby(["event_type", "hour"], sort=False).agg(
-            value_c=("value_c", "sum"), n=("value_c", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        })
+        return _gb(t, ["event_type", "hour"],
+                   [("value_c", "sum"), ([], "count_all")], ["value_c", "n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(batch: pa.Table) -> pa.Table:
         # bounded cardinality: (#event_types x #hours) — single merge task
-        g = batch.to_pandas().groupby(["event_type", "hour"], sort=False).agg(
-            value_c=("value_c", "sum"), n_events=("n", "sum")).reset_index()
-        batch = pa.Table.from_pandas(g, preserve_index=False)
+        batch = _gb(batch, ["event_type", "hour"],
+                    [("value_c", "sum"), ("n", "sum")],
+                    ["value_c", "n_events"])
         return pa.table({
             "event_type": batch["event_type"],
-            # pandas round-trips floor_temporal to [s]; pin the unit to
-            # timestamp[us] so schema matches the DuckDB oracle exactly
+            # pin the unit to timestamp[us] so the schema matches the
+            # DuckDB oracle exactly
             "hour": pc.cast(batch["hour"], pa.timestamp("us")),
             "n_events": batch["n_events"],
             "total_value": pc.divide(pc.cast(batch["value_c"], pa.float64()),
@@ -342,16 +346,13 @@ def type_revenue(sf_dir: str, num_partitions: int = 16):
         on=("l_partkey",), right_on=("p_partkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["p_type", "rev_e4"]).to_pandas().groupby(
-            "p_type", sort=False)["rev_e4"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _gb(batch.select(["p_type", "rev_e4"]), ["p_type"],
+                   [("rev_e4", "sum")], ["rev_e4"])
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
 
     def merge(batch: pa.Table) -> pa.Table:
-        g = batch.to_pandas().groupby("p_type", sort=False)["rev_e4"] \
-            .sum().reset_index()
-        batch = pa.Table.from_pandas(g, preserve_index=False)
+        batch = _gb(batch, ["p_type"], [("rev_e4", "sum")], ["rev_e4"])
         return pa.table({
             "p_type": batch["p_type"],
             "revenue": pc.divide(pc.cast(batch["rev_e4"], pa.float64()),
