@@ -3,13 +3,19 @@
 from __future__ import annotations
 
 
-def default_npartitions(scale: float = 1.0, floor: int = 8) -> int:
+def default_npartitions(scale: float = 0.5, floor: int = 8) -> int:
     """Hash-exchange partition count scaled to the session: ``scale`` ×
     cluster CPUs, never below ``floor``. A literal per-box default (16)
     under-partitions a multi-node cluster — at 100× data that is ~TB
     blocks per partition — so every exchange derives its width from
     ``ray.cluster_resources()`` the same way ``default_pool`` sizes actor
-    pools. Partitioning only co-locates keys; merge results are
+    pools. ``scale=0.5`` (half the CPUs) rather than 1.0: each hash
+    partition spawns an aggregator actor, and on a saturated box a full
+    CPU-count of extra aggregator processes contends with the map-side
+    pools (measured on the flagship at 32 CPUs: 32 partitions ~14.1 s
+    median vs 16 partitions ~12.7 s, clean windows) — half-width still
+    grows linearly with cluster size, which is what multi-node scaling
+    needs. Partitioning only co-locates keys; merge results are
     partition-count-independent, so oracle hashes do not move with this."""
     try:
         import ray
