@@ -109,12 +109,23 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
+    import gc
+
     def timed(name, fn):
         t0 = time.perf_counter()
         res = fn()
         if hasattr(res, "iter_batches"):
             _consume(res)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop the dataset reference and force a GC pass: a consumed
+        # Dataset that lingers in a reference cycle keeps its hash-shuffle
+        # aggregator pools and object-store blocks alive, and the
+        # accumulated pools measurably slow every LATER query (measured:
+        # tile_pyramid 11->18->21 s across three back-to-back runs without
+        # collection, flat ~8 s with it). Any long-running driver process
+        # needs the same hygiene between pipelines.
+        del res
+        gc.collect()
 
     timed("pip_join_rows", lambda: flagship.join_rows(sf_dir))
     timed("tiles_r7", lambda: flagship.tiles(sf_dir))

@@ -49,6 +49,9 @@ oracles = entry.oracle_sql()
 names = NAMES or [n for n in qs if n in oracles]
 for name in names:
     try:
+        import gc
+
+        gc.collect()  # free prior query's shuffle pools/blocks (bench.py note)
         got = norm(to_df(qs[name](SF)))
         if name not in oracles:
             print(f"{name}: rows={len(got)} (no oracle)")

@@ -320,7 +320,7 @@ def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
     member — exactly the driver union-find's output (pytest-pinned equal).
     Rounds needed = component diameter (near-dup chains are short); the
     per-round cost is ONE hash exchange over (node, label) pairs."""
-    from ..util import hash_rollup
+    from ..util import hash_rollup, pin_small
 
     def und_edges(b: pa.Table) -> pa.Table:
         a = b.column("a").to_numpy(zero_copy_only=False)
@@ -330,8 +330,7 @@ def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
             "y": pa.array(np.concatenate([bb, a]), pa.int64()),
         })
 
-    edges = pairs_ds.map_batches(und_edges, batch_format="pyarrow") \
-        .materialize()
+    edges = pin_small(pairs_ds.map_batches(und_edges, batch_format="pyarrow"))
 
     # labels: start at min neighbor (one propagation step for free)
     def init_label(g: pd.DataFrame) -> pd.DataFrame:
@@ -339,8 +338,8 @@ def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
         m["label"] = np.minimum(m["label"], m["x"])
         return m
 
-    labels = hash_rollup(edges, ["x"], init_label,
-                         npartitions=npartitions).materialize()
+    labels = pin_small(hash_rollup(edges, ["x"], init_label,
+                                   npartitions=npartitions))
     prev_sum = labels.sum("label")
 
     def edge_side(b: pa.Table) -> pa.Table:
@@ -392,15 +391,15 @@ def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
         # READ it; the groupby inside then min-merges per target x. A second
         # tiny exchange on x merges across partitions.
         prop = hash_rollup(tagged, ["key"], relabel, npartitions=npartitions)
-        labels = hash_rollup(
+        labels = pin_small(hash_rollup(
             prop, ["x"],
             lambda g: g.groupby("x", sort=False)["label"].min()
             .reset_index(name="label"),
-            npartitions=npartitions).materialize()
+            npartitions=npartitions))
         t_sc = labels.map_batches(by_label_side, batch_format="pyarrow") \
             .union(labels.map_batches(label_side, batch_format="pyarrow"))
-        labels = hash_rollup(t_sc, ["key"], shortcut,
-                             npartitions=npartitions).materialize()
+        labels = pin_small(hash_rollup(t_sc, ["key"], shortcut,
+                                       npartitions=npartitions))
         cur = labels.sum("label")
         if cur == prev_sum:
             break

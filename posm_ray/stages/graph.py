@@ -46,7 +46,7 @@ def pagerank(edges, *, n_iter: int = PAGERANK_ITERS,
     edge rows both stream — nothing lands on the driver; the rank table
     materializes between rounds (it is read twice per round: once as the
     flow source, once as the node list for the teleport term)."""
-    from ..util import hash_rollup
+    from ..util import hash_rollup, pin_small
 
     # Normalize to ONE row per (src, dst): producers pre-count per read
     # block, so the same edge can arrive as several partial-n rows — and
@@ -57,9 +57,9 @@ def pagerank(edges, *, n_iter: int = PAGERANK_ITERS,
         g = pa.TableGroupBy(t, ["src", "dst"]).aggregate([("n", "sum")])
         return g.rename_columns(["src", "dst", "n"])
 
-    edges = hash_rollup(edges, ["src", "dst"], sum_pairs,
-                        npartitions=npartitions,
-                        batch_format="pyarrow").materialize()
+    edges = pin_small(hash_rollup(edges, ["src", "dst"], sum_pairs,
+                                  npartitions=npartitions,
+                                  batch_format="pyarrow"))
 
     # node set = distinct src ∪ dst (teleport applies to every node)
     def node_halves(b: pa.Table) -> pa.Table:
@@ -71,16 +71,17 @@ def pagerank(edges, *, n_iter: int = PAGERANK_ITERS,
         g = pa.TableGroupBy(t, ["node"]).aggregate([])
         return g
 
-    nodes = hash_rollup(edges.map_batches(node_halves, batch_format="pyarrow"),
-                        ["node"], distinct_nodes, npartitions=npartitions,
-                        batch_format="pyarrow").materialize()
+    nodes = pin_small(hash_rollup(
+        edges.map_batches(node_halves, batch_format="pyarrow"),
+        ["node"], distinct_nodes, npartitions=npartitions,
+        batch_format="pyarrow"))
 
     def init_rank(b: pa.Table) -> pa.Table:
         n = b.num_rows
         return pa.table({"node": b["node"],
                          "r": pa.array(np.full(n, SCALE, dtype=np.int64))})
 
-    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    ranks = pin_small(nodes.map_batches(init_rank, batch_format="pyarrow"))
 
     def edge_side(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -135,8 +136,8 @@ def pagerank(edges, *, n_iter: int = PAGERANK_ITERS,
         # row per node so the damp groupby covers every node
         allflow = inflow.union(
             nodes.map_batches(teleport_zero, batch_format="pyarrow"))
-        ranks = hash_rollup(allflow, ["node"], damp,
-                            npartitions=npartitions).materialize()
+        ranks = pin_small(hash_rollup(allflow, ["node"], damp,
+                                      npartitions=npartitions))
 
     return ranks
 

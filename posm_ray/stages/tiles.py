@@ -298,7 +298,7 @@ def tile_pyramid(join_rows, *, finest_col: str = "cell_r9",
     raw rows (group at r9, r8, r7 separately) and 1 full + 2 sketch-size
     exchanges.  Output: (res, cell, n_docs) for every level."""
     from .. import cells as cellmod
-    from ..util import hash_rollup
+    from ..util import hash_rollup, pin_small
 
     def partial(b: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(b.select([finest_col]),
@@ -314,9 +314,9 @@ def tile_pyramid(join_rows, *, finest_col: str = "cell_r9",
     # aggregate so the fan-out reads blocks instead of re-executing the
     # upstream shuffle (an un-materialized hash-shuffle output referenced
     # by two branches re-runs and pins the aggregator pool; see CLAUDE.md)
-    level = hash_rollup(
+    level = pin_small(hash_rollup(
         join_rows.map_batches(partial, batch_format="pyarrow"),
-        ["cell"], merge, batch_format="pyarrow").materialize()
+        ["cell"], merge, batch_format="pyarrow"))
 
     def stamp(res: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -334,8 +334,8 @@ def tile_pyramid(join_rows, *, finest_col: str = "cell_r9",
                 b.column("cell").to_numpy(zero_copy_only=False), res)
             return pa.table({"cell": pa.array(p, pa.int64()), "n": b["n"]})
 
-        level = hash_rollup(
+        level = pin_small(hash_rollup(
             level.map_batches(lift, batch_format="pyarrow"),
-            ["cell"], merge, batch_format="pyarrow").materialize()
+            ["cell"], merge, batch_format="pyarrow"))
         out = out.union(level.map_batches(stamp(res), batch_format="pyarrow"))
     return out

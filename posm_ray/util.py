@@ -48,6 +48,24 @@ def hash_rollup(ds, keys: list[str], merge_fn, *, npartitions: int | None = None
         merge_fn, batch_format=batch_format, batch_size=None)
 
 
+def pin_small(ds):
+    """Materialize a SKETCH-SIZE dataset and CUT its lineage: the blocks
+    stay distributed in the object store (``to_arrow_refs`` →
+    ``from_arrow_refs``, no driver collect), but the returned dataset no
+    longer references the upstream execution plan. Without the cut, a
+    materialized hash-shuffle output referenced by a long-lived consumer
+    keeps its aggregator-actor pool alive until the consumer is GC'd —
+    pools accumulate across pipelines in one session and measurably slow
+    every later execution (tile_pyramid back-to-back: 11→18→21 s leaking
+    vs flat ~8 s collected). Only ever use this on bounded/sketch-size
+    aggregates (the same rule as ``.materialize()`` per CLAUDE.md);
+    the raw stream must never be pinned."""
+    import ray
+
+    mat = ds.materialize()
+    return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+
 def default_pool(min_size: int = 1) -> tuple[int, int]:
     """Default actor-pool ``concurrency`` for stateful map_batches stages:
     autoscale between ``min_size`` and the cluster CPU count (Ray only adds
