@@ -108,15 +108,20 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    steals: dict[str, float] = {}
 
     import gc
 
     def timed(name, fn):
+        meter = _StealMeter()
         t0 = time.perf_counter()
         res = fn()
         if hasattr(res, "iter_batches"):
             _consume(res)
         timings[name] = round(time.perf_counter() - t0, 3)
+        st = meter.pct()
+        if st is not None:
+            steals[name] = st
         # Drop the dataset reference and force a GC pass: a consumed
         # Dataset that lingers in a reference cycle keeps its hash-shuffle
         # aggregator pools and object-store blocks alive, and the
@@ -172,7 +177,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("unigram_surprisal", lambda: textops.unigram_surprisal(sf_dir))
     timed("cell_majority_label", lambda: vectors.cell_majority_label(sf_dir))
     timed("counting_median", lambda: textops.counting_median(sf_dir))
-    return timings
+    return timings, steals
 
 
 STEAL_RETRY_PCT = 12.0
@@ -217,7 +222,10 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     if len(attempts) > 1:
         result["headline_attempts"] = attempts
     if not headline_only:
-        result["queries"].update(run_queries(sf_dir))
+        q_timings, q_steals = run_queries(sf_dir)
+        result["queries"].update(q_timings)
+        # per-query steal readings make every timing auditable (shared VM)
+        result["queries_steal_pct"] = q_steals
         result["steal_pct_total"] = meter.pct()
     import ray
 

@@ -361,3 +361,38 @@ class TestPagerank:
         b = {r["node"]: r["r"]
              for r in g.pagerank(ds_split, n_iter=3, npartitions=3).take_all()}
         assert a == b
+
+
+class TestPinSmall:
+    def test_blocks_survive_source_gc_and_values_match(self, ray_session):
+        """pin_small cuts the lineage of a materialized aggregate; the
+        pinned blocks must stay alive (and correct) after every reference
+        to the source dataset — including the intermediate
+        MaterializedDataset inside pin_small — has been collected."""
+        import gc
+
+        import pyarrow as pa
+        import ray
+
+        from posm_ray.util import hash_rollup, pin_small
+
+        def to_kn(b: pa.Table) -> pa.Table:
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            return pa.table({"k": pa.array(ids % 7),
+                             "n": pa.array(np.ones(len(ids), dtype=np.int64))})
+
+        src = ray.data.range(10_000).map_batches(to_kn, batch_format="pyarrow")
+
+        def merge(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(t, ["k"]).aggregate([("n", "sum")])
+            return g.rename_columns(["k", "n"])
+
+        pinned = pin_small(hash_rollup(src, ["k"], merge,
+                                       batch_format="pyarrow"))
+        del src
+        gc.collect()
+        got = pinned.to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["n"].sum() == 10_000
+        assert len(got) == 7
+        # consume a second time: pinned datasets are re-readable
+        assert pinned.count() == 7
