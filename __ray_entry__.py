@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_domains": _q_hll_domains,
         "raster_tiles": _q_raster_tiles,
         # -- (3) changed in round 3 + stable flagship/boundary core -------
+        "pack_sequences": textops.pack_sequences,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
         "embedding_dups_lsh": vectors.embedding_dups_lsh,
@@ -1449,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority": relational.ORDER_PRIORITY_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
+        "pack_sequences": textops.pack_sequences_sql(),
         "pii_redact": textops.PII_REDACT_SQL,
         "repetition_stats": textops.REPETITION_STATS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,

@@ -177,6 +177,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("unigram_surprisal", lambda: textops.unigram_surprisal(sf_dir))
     timed("cell_majority_label", lambda: vectors.cell_majority_label(sf_dir))
     timed("counting_median", lambda: textops.counting_median(sf_dir))
+    timed("pack_sequences", lambda: textops.pack_sequences(sf_dir))
     return timings, steals
 
 

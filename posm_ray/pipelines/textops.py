@@ -1815,3 +1815,137 @@ SELECT m.doc_id, m.n_chars,
        (SELECT COUNT(*) FROM t WHERE t.thr < m.n_chars)::BIGINT AS bucket
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256          # tokens per training sequence (chunk)
+PACK_NPARTS = 16           # doc_id range partitions for the prefix scan
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   nparts: int = PACK_NPARTS):
+    """Concat-and-chunk sequence packing — the LLM-training batch-prep op:
+    all documents are (logically) concatenated in doc_id order and cut
+    into fixed ``budget``-token sequences; each doc maps to its global
+    token offset and the chunk range it lands in.
+
+    Output per doc (n_tokens > 0): (doc_id, n_tokens, tok_start,
+    chunk_first, chunk_last, n_chunks) where tok_start is the EXCLUSIVE
+    prefix sum of token counts in doc_id order, chunk_first/last =
+    floor(tok_start / budget) / floor((tok_start + n_tokens - 1) / budget).
+
+    Scale shape — a distributed exclusive prefix sum (same two-phase scan
+    as events.late_events, reference has no analogue; SURVEY §2.10 graft):
+    1. slim (doc_id, n_tokens, part) rows stream out of the text scan
+       (text column dropped immediately); per-block pre-reduced
+       (part, sum) partials are the ONLY driver collect (nparts ints);
+    2. the exclusive prefix over partition sums broadcasts back (ray.put);
+       one hash exchange co-locates each doc_id range partition, which
+       sorts locally and adds its broadcast base — no global sort, no
+       corpus-size driver state, text scanned twice (the classic
+       recompute-vs-checkpoint trade; at corpus scale checkpoint the slim
+       rows to parquet instead and feed both phases from it)."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from ..util import hash_rollup
+
+    span = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def slim_rows():
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            nt = np.array([textfn.token_count(t) for t in texts],
+                          dtype=np.int64)
+            part = np.minimum(did * nparts // span, nparts - 1)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(nt),
+                "part": pa.array(part.astype(np.int64)),
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # phase 1: per-block partials -> (part, tok_sum); tiny driver collect
+    def part_sum(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["part", "n_tokens"]),
+                            ["part"]).aggregate([("n_tokens", "sum")])
+        return g.rename_columns(["part", "tok_sum"])
+
+    sums = slim_rows().map_batches(part_sum, batch_format="pyarrow") \
+        .to_pandas().groupby("part", sort=True)["tok_sum"].sum()
+    base = {}
+    running = 0
+    for p in range(nparts):
+        base[p] = running
+        running += int(sums.get(p, 0))
+    base_ref = ray.put(base)
+
+    # phase 2: co-locate doc_id ranges, local exclusive cumsum + base
+    def scan(t: pa.Table) -> pa.Table:
+        bases = ray.get(base_ref) if not isinstance(base_ref, dict) \
+            else base_ref
+        df = t.to_pandas()
+        outs = []
+        for p, sub in df.groupby("part", sort=False):
+            sub = sub.sort_values("doc_id", kind="mergesort")
+            nt = sub["n_tokens"].to_numpy(dtype=np.int64)
+            start = bases[int(p)] + np.concatenate(
+                ([0], np.cumsum(nt)[:-1]))
+            keep = nt > 0
+            cf = start[keep] // budget
+            cl = (start[keep] + nt[keep] - 1) // budget
+            outs.append(pa.table({
+                "doc_id": pa.array(sub["doc_id"].to_numpy()[keep],
+                                   pa.int64()),
+                "n_tokens": pa.array(nt[keep]),
+                "tok_start": pa.array(start[keep]),
+                "chunk_first": pa.array(cf),
+                "chunk_last": pa.array(cl),
+                "n_chunks": pa.array(cl - cf + 1),
+            }))
+        return pa.concat_tables(outs) if outs else pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "chunk_first": pa.array([], pa.int64()),
+            "chunk_last": pa.array([], pa.int64()),
+            "n_chunks": pa.array([], pa.int64()),
+        })
+
+    return hash_rollup(slim_rows(), ["part"], scan,
+                       batch_format="pyarrow")
+
+
+def pack_sequences_sql(budget: int = PACK_BUDGET) -> str:
+    """Exact window-function twin: same token count, same exclusive prefix
+    sum in doc_id order, same integer chunk arithmetic."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT
+             AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS tok_start
+  FROM t)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // {budget})::BIGINT AS chunk_first,
+       ((tok_start + n_tokens - 1) // {budget})::BIGINT AS chunk_last,
+       ((tok_start + n_tokens - 1) // {budget}
+        - tok_start // {budget} + 1)::BIGINT AS n_chunks
+FROM c
+WHERE n_tokens > 0
+"""

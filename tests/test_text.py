@@ -499,3 +499,44 @@ class TestRangePartition:
         n = len(out)
         dup_slack = int(out["n_chars"].value_counts().max())
         assert (sizes <= n // 4 + dup_slack).all()
+
+
+class TestPackSequences:
+    def test_prefix_sum_exact_and_chunks_consistent(self, ray_session):
+        import pandas as pd
+
+        from posm_ray.functions import text as textfn
+        from posm_ray.pipelines import textops
+
+        out = textops.pack_sequences("/root/testdata/sf0.001", budget=256) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .sort_values("doc_id").reset_index(drop=True)
+        nt = docs["text"].map(textfn.token_count).to_numpy()
+        import numpy as np
+
+        start = np.concatenate(([0], np.cumsum(nt)[:-1]))
+        keep = nt > 0
+        assert (out["doc_id"].to_numpy() ==
+                docs["doc_id"].to_numpy()[keep]).all()
+        # the distributed two-phase scan equals the single-machine prefix
+        assert (out["tok_start"].to_numpy() == start[keep]).all()
+        assert (out["n_tokens"].to_numpy() == nt[keep]).all()
+        # chunk arithmetic invariants
+        cf, cl = out["chunk_first"].to_numpy(), out["chunk_last"].to_numpy()
+        assert (cf == out["tok_start"].to_numpy() // 256).all()
+        assert (cl >= cf).all()
+        assert (out["n_chunks"].to_numpy() == cl - cf + 1).all()
+        # packing is gap-free: consecutive docs are token-adjacent
+        ts, ntk = out["tok_start"].to_numpy(), out["n_tokens"].to_numpy()
+        assert (ts[1:] == ts[:-1] + ntk[:-1]).all()
+
+    def test_partition_count_invariance(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        a = textops.pack_sequences("/root/testdata/sf0.001", nparts=3) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = textops.pack_sequences("/root/testdata/sf0.001", nparts=16) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
