@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tiles": _q_raster_tiles,
         # -- (3) changed in round 3 + stable flagship/boundary core -------
         "pack_sequences": textops.pack_sequences,
+        "geo_radius_join": _q_geo_radius,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
         "embedding_dups_lsh": vectors.embedding_dups_lsh,
@@ -1314,6 +1315,49 @@ def _q_boundary_problems(sf_dir: str):
         boundary.normalized(bsrc2.raw_boundaries()))
 
 
+GEO_RADIUS_M = 750_000.0  # 750 km: multiple boundary-scale matches per query
+
+
+def _q_geo_radius(sf_dir: str):
+    """Geofencing radius join: first 16 geocoded docs as query points; all
+    geocoded pages within GEO_RADIUS_M. Broadcast small side, zero
+    shuffles (posm's rtree envelope probe generalized to a distance
+    predicate, exposm/utils.py:38-48)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from posm_ray.stages import extract as extract_stage, knn
+
+    pages = synth.read_pages(sf_dir)
+    ds = extract_stage.extracted_pages(pages).map_batches(
+        lambda b: b.filter(pc.equal(b["geocoded"], True)),
+        batch_format="pyarrow")
+    qid = np.arange(1, 17, dtype=np.int64)
+    queries_d = {"id": qid, "lat": synth.derive_lat(qid),
+                 "lon": synth.derive_lon(qid)}
+    return knn.radius_join(ds, queries_d, GEO_RADIUS_M, id_col="doc_id")
+
+
+def _geo_radius_sql() -> str:
+    """Twin of _q_geo_radius: identical op-order haversine (see
+    _knn_geo_sql), membership by dist <= R (float-boundary caveat noted in
+    knn.radius_join docstring)."""
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {synth.lat_sql()} AS lat, {synth.lon_sql()} AS lon
+  FROM documents),
+q AS (SELECT * FROM pts WHERE doc_id BETWEEN 1 AND 16)
+SELECT q.doc_id AS query_id, p.doc_id AS doc_id
+FROM q CROSS JOIN pts p
+WHERE p.doc_id <> q.doc_id
+  AND 2.0 * 6371000.0 * ASIN(SQRT(
+        POW(SIN((RADIANS(p.lat) - RADIANS(q.lat)) / 2.0), 2)
+        + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))
+          * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2)))
+      <= {GEO_RADIUS_M}
+"""
+
+
 def _q_knn_geo(sf_dir: str):
     """Exact haversine kNN: first 16 geocoded docs as queries against all
     geocoded pages. Oracle: DuckDB haversine-in-SQL twin ranks the same ids
@@ -1451,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "pack_sequences": textops.pack_sequences_sql(),
+        "geo_radius_join": _geo_radius_sql(),
         "pii_redact": textops.PII_REDACT_SQL,
         "repetition_stats": textops.REPETITION_STATS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,

@@ -178,6 +178,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("cell_majority_label", lambda: vectors.cell_majority_label(sf_dir))
     timed("counting_median", lambda: textops.counting_median(sf_dir))
     timed("pack_sequences", lambda: textops.pack_sequences(sf_dir))
+    timed("geo_radius_join", lambda: qs["geo_radius_join"](sf_dir))
     return timings, steals
 
 

@@ -429,3 +429,66 @@ def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
     return hash_rollup(partial, ["query_id"],
                        _merge_topk(k, True, by="cosine", ascending=False),
                        npartitions=None)
+
+
+# ---------------------------------------------------------------------------
+# radius join (geofencing)
+# ---------------------------------------------------------------------------
+
+class _RadiusFilter:
+    """map_batches stage: all (query, candidate) pairs within radius_m.
+    Queries are the broadcast small side (ray.put once, read per actor);
+    the candidate stream never shuffles — this is the geofencing analogue
+    of the PIP broadcast join. For a LARGE query set, bucket queries by
+    coarse cell and prefilter candidates by the covering of each query's
+    radius bbox (cells.covering), exactly like the PIP grid index; at the
+    Q<=hundreds scale the dense (Q, N) haversine matrix per batch is
+    faster than any index."""
+
+    def __init__(self, q_ref, radius_m: float, id_col: str):
+        q = q_ref
+        if not isinstance(q, dict):
+            import ray
+
+            q = ray.get(q_ref)
+        self.qid = np.asarray(q["id"], dtype=np.int64)
+        self.qlat = np.asarray(q["lat"], dtype=np.float64)
+        self.qlon = np.asarray(q["lon"], dtype=np.float64)
+        self.radius_m = radius_m
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        clat = batch.column("lat").to_numpy(zero_copy_only=False)
+        clon = batch.column("lon").to_numpy(zero_copy_only=False)
+        d = haversine_m(self.qlat[:, None], self.qlon[:, None],
+                        clat[None, :], clon[None, :])
+        qi, ci = np.nonzero(d <= self.radius_m)
+        keep = self.qid[qi] != cid[ci]  # exclude self like knn
+        return pa.table({
+            "query_id": pa.array(self.qid[qi][keep]),
+            "doc_id": pa.array(cid[ci][keep]),
+        })
+
+
+def radius_join(ds, queries: dict, radius_m: float, *, id_col: str = "doc_id",
+                concurrency=None):
+    """(query_id, doc_id) pairs for every candidate within ``radius_m`` of
+    a query point — exact haversine geofencing with zero shuffles.
+
+    Oracle note: membership is a float threshold compare; the DuckDB twin
+    uses the identical op-order haversine, so divergence needs a distance
+    within ~1 ulp of the radius, which the synthetic coordinate family
+    never produces (verified over all sf fixtures)."""
+    import ray
+
+    ref = ray.put(queries)  # broadcast once; actors ray.get in __init__
+    return ds.map_batches(
+        _RadiusFilter,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        fn_constructor_kwargs={"q_ref": ref, "radius_m": radius_m,
+                               "id_col": id_col},
+        concurrency=concurrency if concurrency is not None else default_pool(),
+    )

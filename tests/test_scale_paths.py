@@ -396,3 +396,36 @@ class TestPinSmall:
         assert len(got) == 7
         # consume a second time: pinned datasets are re-readable
         assert pinned.count() == 7
+
+
+class TestRadiusJoin:
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.compute as pc
+
+        from posm_ray.functions import text  # noqa: F401 (import check)
+        from posm_ray.geom.kernels import haversine_m
+        from posm_ray.sources import synth
+        from posm_ray.stages import extract as ex, knn
+
+        sf = "/root/testdata/sf0.001"
+        R = 750_000.0
+        ds = ex.extracted_pages(synth.read_pages(sf)).map_batches(
+            lambda b: b.filter(pc.equal(b["geocoded"], True)),
+            batch_format="pyarrow")
+        qid = np.arange(1, 17, dtype=np.int64)
+        q = {"id": qid, "lat": synth.derive_lat(qid),
+             "lon": synth.derive_lon(qid)}
+        got = knn.radius_join(ds, q, R).to_pandas()
+        got_pairs = set(map(tuple, got[["query_id", "doc_id"]]
+                            .itertuples(index=False)))
+        # brute force over the same extracted points
+        pts = ds.to_pandas()
+        want = set()
+        for i, qi in enumerate(qid):
+            d = haversine_m(q["lat"][i], q["lon"][i],
+                            pts["lat"].to_numpy(), pts["lon"].to_numpy())
+            for did in pts["doc_id"].to_numpy()[d <= R]:
+                if did != qi:
+                    want.add((qi, did))
+        assert got_pairs == want
+        assert len(want) > 0
