@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- (3) changed in round 3 + stable flagship/boundary core -------
         "pack_sequences": textops.pack_sequences,
         "geo_radius_join": _q_geo_radius,
+        "kmeans_embeddings": vectors.kmeans_embeddings,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
         "embedding_dups_lsh": vectors.embedding_dups_lsh,
@@ -1496,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "pack_sequences": textops.pack_sequences_sql(),
         "geo_radius_join": _geo_radius_sql(),
+        "kmeans_embeddings": vectors.kmeans_embeddings_sql(),
         "pii_redact": textops.PII_REDACT_SQL,
         "repetition_stats": textops.REPETITION_STATS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,

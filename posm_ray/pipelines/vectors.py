@@ -397,3 +397,180 @@ def cell_majority_label(sf_dir: str, *, cell_col: str = "cell_r7",
                              "n_docs": g["n"].astype(np.int64)})
 
     return hash_rollup(counts, ["cell"], majority, npartitions=npartitions)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (embedding clustering for curation)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1 << 20  # power of two: float32 * 2^20 is EXACT in float64
+
+
+def _trunc_div(s: np.ndarray, n: int) -> np.ndarray:
+    """Truncate-toward-zero integer division, matching DuckDB's ``//``
+    (numpy's ``//`` floors: -7//2 = -4 vs DuckDB -3)."""
+    s = np.asarray(s, dtype=np.int64)
+    return np.sign(s) * (np.abs(s) // np.int64(n))
+
+
+def _int_embeddings(sf_dir: str):
+    """embeddings -> (vec_id, v:list<int64>) with v = floor(x * 2^20):
+    the float32->int64 quantization is exact and order-independent, so
+    every later sum/compare is bit-identical between numpy and DuckDB."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").to_pylist(),
+                         dtype=np.float64)
+        v = np.floor(emb * KMEANS_SCALE).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "v": pa.array(list(v), pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means over the embeddings table — the
+    embedding-clustering primitive of a curation pipeline (cluster-balanced
+    sampling, semantic dedup by cluster, domain discovery).
+
+    Exact-arithmetic design: vectors quantize once to int64 (floor(x*2^20),
+    exact for float32 inputs), distances are integer squared-L2, centroid
+    updates are integer truncating division — every step is
+    order-independent, so the unrolled-CTE DuckDB twin replays the
+    iteration bit-for-bit (same family as stages.graph.pagerank_sql).
+
+    Scale shape per iteration: centroids broadcast (ray.put, k x D ints);
+    ONE map pass assigns + pre-reduces per block (k rows each: count +
+    per-dim sum); hash exchange merges to k rows; only the k x (D+1)
+    centroid table ever reaches the driver. Assignment ties break to the
+    lower cluster id (deterministic).
+
+    Returns (vec_id, cluster) after ``iters`` iterations."""
+    import ray
+
+    from ..util import hash_rollup
+
+    ints = _int_embeddings(sf_dir)
+
+    # deterministic init: the k lowest-vec_id vectors, in vec_id order
+    first = ints.sort("vec_id").limit(k).to_pandas()
+    centroids = np.stack([np.asarray(x, dtype=np.int64) for x in first["v"]])
+
+    def assign(batch: pa.Table, cents: np.ndarray) -> np.ndarray:
+        v = np.stack([np.asarray(x, dtype=np.int64)
+                      for x in batch.column("v").to_pylist()])
+        # (N, K) integer squared distances; argmin ties -> lowest cluster
+        d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1).astype(np.int64)
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+            v = np.stack([np.asarray(x, dtype=np.int64)
+                          for x in batch.column("v").to_pylist()])
+            a = assign(batch, cents)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                rows_c.append(int(c))
+                rows_n.append(int(m.sum()))
+                rows_s.append(v[m].sum(axis=0))
+            return pa.table({
+                "cluster": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array([list(x) for x in rows_s],
+                              pa.list_(pa.int64())),
+            })
+
+        def merge(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out_c, out_n, out_s = [], [], []
+            for c, sub in df.groupby("cluster", sort=True):
+                out_c.append(int(c))
+                out_n.append(int(sub["n"].sum()))
+                out_s.append(np.stack([np.asarray(x, dtype=np.int64)
+                                       for x in sub["s"]]).sum(axis=0))
+            return pa.table({
+                "cluster": pa.array(out_c, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "s": pa.array([list(x) for x in out_s],
+                              pa.list_(pa.int64())),
+            })
+
+        agg = hash_rollup(ints.map_batches(partial, batch_format="pyarrow"),
+                          ["cluster"], merge,
+                          batch_format="pyarrow").to_pandas()
+        new = centroids.copy()  # empty cluster keeps its old centroid
+        for _, row in agg.iterrows():
+            new[int(row["cluster"])] = _trunc_div(
+                np.asarray(row["s"], dtype=np.int64), int(row["n"]))
+        centroids = new
+
+    ref = ray.put(centroids)
+
+    def final(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(assign(batch, cents)),
+        })
+
+    return ints.map_batches(final, batch_format="pyarrow")
+
+
+def kmeans_embeddings_sql(k: int = KMEANS_K,
+                          iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE twin of kmeans_embeddings: identical quantization,
+    integer distances, tie-break, truncating-division centroid update."""
+    dist = ("list_sum(list_transform(list_zip(e.v, c.v), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))")
+    parts = [f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0) AS BIGINT))
+             AS v
+  FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v
+  FROM e ORDER BY vec_id LIMIT {k})"""]
+    for t in range(iters):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM e CROSS JOIN c{t} c) WHERE rn = 1),
+u{t} AS (
+  SELECT cluster, dim, val FROM (
+    SELECT cluster, unnest(v) AS val,
+           unnest(range(1, len(v) + 1)) AS dim
+    FROM a{t})),
+m{t} AS (
+  SELECT cluster, dim,
+         CASE WHEN SUM(val) >= 0 THEN SUM(val) // COUNT(*)
+              ELSE -((-SUM(val)) // COUNT(*)) END AS cv
+  FROM u{t} GROUP BY cluster, dim),
+c{t + 1} AS (
+  SELECT cluster, list(cv ORDER BY dim) AS v FROM m{t} GROUP BY cluster
+  UNION ALL
+  SELECT cluster, v FROM c{t}
+  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM m{t}))""")
+    parts.append(f"""af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT vec_id, cluster FROM af")

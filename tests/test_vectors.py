@@ -222,3 +222,49 @@ class TestCellMajorityLabel:
         for cell, row in want.iterrows():
             assert out.loc[cell, "majority_label"] == row["label"]
             assert out.loc[cell, "n_docs"] == row["n"]
+
+
+class TestKmeans:
+    def test_matches_sql_twin_and_balances(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import vectors
+
+        sf = "/root/testdata/sf0.001"
+        got = vectors.kmeans_embeddings(sf).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf}/embeddings.parquet')")
+        want = con.execute(vectors.kmeans_embeddings_sql()).df() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["cluster"].to_numpy() == want["cluster"].to_numpy()).all()
+        sizes = got.groupby("cluster").size()
+        assert len(sizes) == vectors.KMEANS_K  # no empty final cluster
+        assert sizes.min() > 0
+
+    def test_iteration_improves_inertia(self, ray_session):
+        """More Lloyd's iterations can only lower (never raise) the exact
+        integer inertia — pins that the update step actually descends."""
+        import numpy as np
+        import pandas as pd
+
+        from posm_ray.pipelines import vectors
+
+        sf = "/root/testdata/sf0.001"
+        ints = vectors._int_embeddings(sf).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in ints["v"]])
+
+        def inertia(iters):
+            a = vectors.kmeans_embeddings(sf, iters=iters).to_pandas() \
+                .sort_values("vec_id").reset_index(drop=True)
+            tot = 0
+            for c, sub in a.groupby("cluster"):
+                pts = v[sub.index.to_numpy()]
+                cen = pts.mean(axis=0)
+                tot += ((pts - cen) ** 2).sum()
+            return tot
+
+        assert inertia(3) <= inertia(1)
