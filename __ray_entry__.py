@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": textops.pack_sequences,
         "geo_radius_join": _q_geo_radius,
         "kmeans_embeddings": vectors.kmeans_embeddings,
+        "mixture_schedule": textops.mixture_schedule,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
         "embedding_dups_lsh": vectors.embedding_dups_lsh,
@@ -1498,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": textops.pack_sequences_sql(),
         "geo_radius_join": _geo_radius_sql(),
         "kmeans_embeddings": vectors.kmeans_embeddings_sql(),
+        "mixture_schedule": textops.mixture_schedule_sql(),
         "pii_redact": textops.PII_REDACT_SQL,
         "repetition_stats": textops.REPETITION_STATS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,

@@ -180,6 +180,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("pack_sequences", lambda: textops.pack_sequences(sf_dir))
     timed("geo_radius_join", lambda: qs["geo_radius_join"](sf_dir))
     timed("kmeans_embeddings", lambda: qs["kmeans_embeddings"](sf_dir))
+    timed("mixture_schedule", lambda: textops.mixture_schedule(sf_dir))
     return timings, steals
 
 

@@ -1949,3 +1949,113 @@ SELECT doc_id, n_tokens, tok_start,
 FROM c
 WHERE n_tokens > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# mixture scheduling (weighted corpus interleave)
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"en": 4, "es": 2, "fr": 2, "de": 1, "ne": 1}
+MIX_LCM = 4  # lcm of weights; vt = rank * (LCM // w) stays integral
+
+
+def mixture_schedule(sf_dir: str, weights: dict[str, int] | None = None,
+                     nparts: int = PACK_NPARTS):
+    """Deterministic weighted data-mixing schedule (stride scheduling):
+    each language stream l advances a virtual clock by LCM/w_l per doc, and
+    training consumes docs in (vt, lang, rank) order — so language l gets
+    w_l/Σw of every training window without any shuffling of the docs
+    themselves.
+
+    Output: (doc_id, lang, lang_rank, vt) where lang_rank is the doc's
+    0-based position within its language (doc_id order) and
+    vt = (lang_rank + 1) * (LCM // w_l). Consumers range-partition by vt
+    (textops.range_partition is the primitive) to materialize the order;
+    emitting vt instead of a global row number keeps the operator free of
+    any global sort.
+
+    Scale shape: lang_rank is an exclusive prefix COUNT per language —
+    the same two-phase scan as pack_sequences, with a (lang x nparts)
+    count matrix as the only driver state. Unknown langs get weight 1."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from ..util import hash_rollup
+
+    w = dict(weights or MIX_WEIGHTS)
+    span = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def slim_rows():
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang"])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            part = np.minimum(did * nparts // span, nparts - 1)
+            return batch.append_column(
+                "part", pa.array(part.astype(np.int64)))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # phase 1: (part, lang) doc counts; tiny driver collect
+    def part_counts(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["part", "lang"]),
+                            ["part", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["part", "lang", "n"])
+
+    counts = slim_rows().map_batches(part_counts, batch_format="pyarrow") \
+        .to_pandas().groupby(["part", "lang"], sort=True)["n"].sum()
+    base: dict[str, dict[int, int]] = {}
+    for (p, lang), n in counts.items():
+        base.setdefault(lang, {})
+    for lang in base:
+        running = 0
+        for p in range(nparts):
+            base[lang][p] = running
+            running += int(counts.get((p, lang), 0))
+    base_ref = ray.put(base)
+
+    # phase 2: co-locate doc_id ranges; local per-lang rank + stride clock
+    def scan(t: pa.Table) -> pa.Table:
+        bases = ray.get(base_ref) if not isinstance(base_ref, dict) \
+            else base_ref
+        df = t.to_pandas()
+        outs = []
+        for p, sub in df.groupby("part", sort=False):
+            sub = sub.sort_values("doc_id", kind="mergesort")
+            local = sub.groupby("lang", sort=False).cumcount().to_numpy()
+            langs = sub["lang"].to_numpy()
+            rank = local + np.array([bases[l][int(p)] for l in langs],
+                                    dtype=np.int64)
+            stride = np.array([MIX_LCM // w.get(l, 1) for l in langs],
+                              dtype=np.int64)
+            outs.append(pa.table({
+                "doc_id": pa.array(sub["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "lang_rank": pa.array(rank),
+                "vt": pa.array((rank + 1) * stride),
+            }))
+        return pa.concat_tables(outs) if outs else pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "lang_rank": pa.array([], pa.int64()),
+            "vt": pa.array([], pa.int64()),
+        })
+
+    return hash_rollup(slim_rows(), ["part"], scan, batch_format="pyarrow")
+
+
+def mixture_schedule_sql(weights: dict[str, int] | None = None) -> str:
+    w = dict(weights or MIX_WEIGHTS)
+    cases = " ".join(f"WHEN '{l}' THEN {MIX_LCM // wl}"
+                     for l, wl in sorted(w.items()))
+    return f"""
+SELECT doc_id, lang,
+       (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1)::BIGINT
+           AS lang_rank,
+       (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+        * CASE lang {cases} ELSE {MIX_LCM} END)::BIGINT AS vt
+FROM documents
+"""

@@ -540,3 +540,30 @@ class TestPackSequences:
         b = textops.pack_sequences("/root/testdata/sf0.001", nparts=16) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestMixtureSchedule:
+    def test_matches_twin_and_mix_proportions(self, ray_session):
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        sf = "/root/testdata/sf0.001"
+        got = textops.mixture_schedule(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(textops.mixture_schedule_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(want)
+        for c in ("doc_id", "lang_rank", "vt"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all()
+        # stride property: within a training window of vt <= T, language l
+        # contributes ~ w_l * T / LCM docs (exact until a stream runs dry)
+        w = textops.MIX_WEIGHTS
+        T = 40
+        head = got[got["vt"] <= T]
+        for lang, sub in head.groupby("lang"):
+            wl = w.get(lang, 1)
+            assert len(sub) == T // (textops.MIX_LCM // wl)
