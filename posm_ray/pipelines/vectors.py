@@ -461,8 +461,17 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
 
     ints = _int_embeddings(sf_dir)
 
-    # deterministic init: the k lowest-vec_id vectors, in vec_id order
-    first = ints.sort("vec_id").limit(k).to_pandas()
+    # deterministic init: the k lowest-vec_id vectors, in vec_id order.
+    # Streaming min-k (per-block head-k partials, k x nblocks driver rows)
+    # instead of Dataset.sort().limit(k) — the full distributed sort
+    # machinery for k=8 rows measured ~3 s of pure orchestration.
+    def head_k(b: pa.Table) -> pa.Table:
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        idx = np.argsort(vid, kind="stable")[:k]
+        return b.take(pa.array(idx))
+
+    first = ints.map_batches(head_k, batch_format="pyarrow").to_pandas() \
+        .sort_values("vec_id").head(k)
     centroids = np.stack([np.asarray(x, dtype=np.int64) for x in first["v"]])
 
     def assign(batch: pa.Table, cents: np.ndarray) -> np.ndarray:
