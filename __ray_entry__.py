@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_radius_join": _q_geo_radius,
         "kmeans_embeddings": vectors.kmeans_embeddings,
         "mixture_schedule": textops.mixture_schedule,
+        "chunk_occupancy": textops.chunk_occupancy,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
         "embedding_dups_lsh": vectors.embedding_dups_lsh,
@@ -1500,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_radius_join": _geo_radius_sql(),
         "kmeans_embeddings": vectors.kmeans_embeddings_sql(),
         "mixture_schedule": textops.mixture_schedule_sql(),
+        "chunk_occupancy": textops.chunk_occupancy_sql(),
         "pii_redact": textops.PII_REDACT_SQL,
         "repetition_stats": textops.REPETITION_STATS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,

@@ -2059,3 +2059,75 @@ SELECT doc_id, lang,
         * CASE lang {cases} ELSE {MIX_LCM} END)::BIGINT AS vt
 FROM documents
 """
+
+
+def chunk_occupancy(sf_dir: str, budget: int = PACK_BUDGET,
+                    nparts: int = PACK_NPARTS):
+    """Companion rollup to :func:`pack_sequences`: per training chunk, how
+    many docs contribute and how many of its token slots are filled
+    (the last chunk of the corpus may be partial). The doc->chunk explode
+    is vectorized (np.repeat over per-doc chunk spans) and pre-reduced per
+    block before ONE hash exchange on chunk — a doc never ships one row
+    per token, only per (doc, chunk) overlap, and blocks ship per-chunk
+    partial counts."""
+    from ..util import hash_rollup
+
+    packed = pack_sequences(sf_dir, budget=budget, nparts=nparts)
+
+    def explode(b: pa.Table) -> pa.Table:
+        cf = b.column("chunk_first").to_numpy(zero_copy_only=False)
+        cl = b.column("chunk_last").to_numpy(zero_copy_only=False)
+        ts = b.column("tok_start").to_numpy(zero_copy_only=False)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        reps = (cl - cf + 1).astype(np.int64)
+        # chunk ids per (doc, chunk) overlap
+        chunk = np.repeat(cf, reps) + (
+            np.arange(reps.sum(), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps))
+        # tokens of the doc landing in this chunk: overlap of
+        # [ts, ts+nt) with [chunk*budget, (chunk+1)*budget)
+        dts = np.repeat(ts, reps)
+        dnt = np.repeat(nt, reps)
+        lo = np.maximum(dts, chunk * budget)
+        hi = np.minimum(dts + dnt, (chunk + 1) * budget)
+        t = pa.table({
+            "chunk": pa.array(chunk),
+            "n_docs_p": pa.array(np.ones(len(chunk), dtype=np.int64)),
+            "n_tokens_p": pa.array(hi - lo),
+        })
+        g = pa.TableGroupBy(t, ["chunk"]).aggregate(
+            [("n_docs_p", "sum"), ("n_tokens_p", "sum")])
+        return g.rename_columns(["chunk", "n_docs", "n_tokens"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["chunk"]).aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum")])
+        return g.rename_columns(["chunk", "n_docs", "n_tokens"])
+
+    return hash_rollup(packed.map_batches(explode, batch_format="pyarrow"),
+                       ["chunk"], merge, batch_format="pyarrow")
+
+
+def chunk_occupancy_sql(budget: int = PACK_BUDGET) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT
+             AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS tok_start
+  FROM t WHERE n_tokens > 0),
+x AS (
+  SELECT doc_id, n_tokens, tok_start,
+         unnest(range(tok_start // {budget},
+                      (tok_start + n_tokens - 1) // {budget} + 1)) AS chunk
+  FROM c)
+SELECT chunk::BIGINT AS chunk, COUNT(*)::BIGINT AS n_docs,
+       SUM(LEAST(tok_start + n_tokens, (chunk + 1) * {budget})
+           - GREATEST(tok_start, chunk * {budget}))::BIGINT AS n_tokens
+FROM x GROUP BY chunk
+"""

@@ -567,3 +567,26 @@ class TestMixtureSchedule:
         for lang, sub in head.groupby("lang"):
             wl = w.get(lang, 1)
             assert len(sub) == T // (textops.MIX_LCM // wl)
+
+
+class TestChunkOccupancy:
+    def test_token_conservation_and_budget_bounds(self, ray_session):
+        from posm_ray.functions import text as textfn
+        from posm_ray.pipelines import textops
+
+        import pandas as pd
+
+        sf = "/root/testdata/sf0.001"
+        occ = textops.chunk_occupancy(sf).to_pandas() \
+            .sort_values("chunk").reset_index(drop=True)
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        total = int(docs["text"].map(textfn.token_count).sum())
+        # every token lands in exactly one chunk
+        assert int(occ["n_tokens"].sum()) == total
+        # every chunk except the last is exactly full
+        assert (occ["n_tokens"].to_numpy()[:-1] == textops.PACK_BUDGET).all()
+        assert 0 < occ["n_tokens"].iloc[-1] <= textops.PACK_BUDGET
+        # chunks are contiguous from 0
+        assert (occ["chunk"].to_numpy() ==
+                np.arange(len(occ), dtype=np.int64)).all()
+        assert (occ["n_docs"] >= 1).all()
