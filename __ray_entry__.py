@@ -228,7 +228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_range_join": _q_range_join,
         "props_k": _q_props_k,
         "late_events": _q_late_events,
-        "type_revenue": relational.type_revenue,
         "doc_sample": relational.doc_sample,
         "s2_covering": _q_s2_covering,
         "media_resize": _q_media_resize,
@@ -241,6 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": vectors.kmeans_embeddings,
         "mixture_schedule": textops.mixture_schedule,
         "chunk_occupancy": textops.chunk_occupancy,
+        "type_revenue": relational.type_revenue,
+        "events_hourly": relational.events_hourly,
+        "dedup_exact": textops.dedup_exact_winners,
+        "dedup_exact_rows": textops.dedup_exact_surviving,
+        "dedup_incremental": textops.dedup_incremental,
+        "knn_geo": _q_knn_geo,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
         "embedding_dups_lsh": vectors.embedding_dups_lsh,
@@ -257,11 +262,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "region_rollup": relational.region_rollup,
         "order_priority": relational.order_priority,
-        "events_hourly": relational.events_hourly,
-        "dedup_exact": textops.dedup_exact_winners,
-        "dedup_exact_rows": textops.dedup_exact_surviving,
-        "dedup_incremental": textops.dedup_incremental,
-        "knn_geo": _q_knn_geo,
         # -- (4) green in r2, untouched since (beyond the ~50 window; ----
         #        re-verified locally each round via jobs/check_oracles.py)
         "cell_assign": _q_cell_assign,

@@ -100,7 +100,7 @@ def run_headline(sf_dir: str) -> tuple[float, int]:
     return dt, docs
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
+def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Per-pipeline wall times (each fully consumed)."""
     import __ray_entry__ as entrymod
 

@@ -88,7 +88,10 @@ def build(config: PipelineConfig):
         if config.dedup_method == "exact":
             return textops.dedup_exact_surviving(config.sf_dir)
         if config.dedup_method == "minhash":
-            return textops.minhash_near_dups(config.sf_dir)
+            # the Dataset-returning pipeline (minhash_near_dups collects a
+            # sorted DataFrame for the oracle contract; build() promises a
+            # lazy Dataset for every method)
+            return textops.minhash_verified_pairs(config.sf_dir)
         if config.dedup_method == "simhash":
             return textops.simhash_near_dups(config.sf_dir)
         raise ValueError(f"unknown dedup_method: {config.dedup_method!r}")

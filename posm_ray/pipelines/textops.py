@@ -413,6 +413,8 @@ def _minhash_verified_sql(order_by: str = "") -> str:
     verify_jaccard_pairs_distributed value-for-value."""
     from ..functions import hashing
 
+    from ..stages.dedup import MINHASH_BUCKET_CAP as cap  # noqa: N813
+
     seeds = hashing.mix_seeds(MINHASH_NUM_PERM)
     seed_rows = ", ".join(
         f"({p}, {int(s)}::UBIGINT)" for p, s in enumerate(seeds))
@@ -444,10 +446,24 @@ sig AS (SELECT doc_id, p, CAST(min(v) >> 1 AS BIGINT) AS sv
 band AS (SELECT doc_id, p // {rows} AS band_id,
                 md5(string_agg(sv::VARCHAR, ',' ORDER BY p)) AS bkey
          FROM sig GROUP BY doc_id, p // {rows}),
-cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         FROM band x JOIN band y
+br AS (SELECT doc_id, band_id, bkey,
+              ROW_NUMBER() OVER (PARTITION BY band_id, bkey
+                                 ORDER BY doc_id) AS rn
+       FROM band),
+-- bucket-size cap mirrored from dedup.minhash_candidate_pairs: full
+-- pairs among the first {cap} members of a bucket, the overflow tail
+-- star-paired to the bucket's min id (rn = 1)
+cand AS (SELECT DISTINCT a, b FROM (
+         SELECT x.doc_id AS a, y.doc_id AS b
+         FROM br x JOIN br y
            ON x.band_id = y.band_id AND x.bkey = y.bkey
-          AND x.doc_id < y.doc_id),
+          AND x.doc_id < y.doc_id
+          AND x.rn <= {cap} AND y.rn <= {cap}
+         UNION ALL
+         SELECT h.doc_id AS a, y.doc_id AS b
+         FROM br h JOIN br y
+           ON h.band_id = y.band_id AND h.bkey = y.bkey
+          AND h.rn = 1 AND y.rn > {cap})),
 gsets AS (SELECT doc_id, {_NGRAM_SET_SQL} AS g FROM noisy)
 SELECT c.a, c.b,
        len(list_intersect(x.g, y.g)) / len(list_distinct(x.g || y.g)) AS jaccard
@@ -1956,7 +1972,20 @@ WHERE n_tokens > 0
 # ---------------------------------------------------------------------------
 
 MIX_WEIGHTS = {"en": 4, "es": 2, "fr": 2, "de": 1, "ne": 1}
-MIX_LCM = 4  # lcm of weights; vt = rank * (LCM // w) stays integral
+
+
+def _mix_lcm(w: dict[str, int]) -> int:
+    """lcm of all weights (and the default weight 1); vt strides
+    LCM // w_l stay integral for ANY caller-supplied weights."""
+    import math
+
+    out = 1
+    for x in w.values():
+        out = math.lcm(out, int(x))
+    return out
+
+
+MIX_LCM = _mix_lcm(MIX_WEIGHTS)  # = 4 for the default mix
 
 
 def mixture_schedule(sf_dir: str, weights: dict[str, int] | None = None,
@@ -1985,6 +2014,7 @@ def mixture_schedule(sf_dir: str, weights: dict[str, int] | None = None,
     from ..util import hash_rollup
 
     w = dict(weights or MIX_WEIGHTS)
+    lcm = _mix_lcm(w)
     span = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     def slim_rows():
@@ -2029,7 +2059,7 @@ def mixture_schedule(sf_dir: str, weights: dict[str, int] | None = None,
             langs = sub["lang"].to_numpy()
             rank = local + np.array([bases[l][int(p)] for l in langs],
                                     dtype=np.int64)
-            stride = np.array([MIX_LCM // w.get(l, 1) for l in langs],
+            stride = np.array([lcm // w.get(l, 1) for l in langs],
                               dtype=np.int64)
             outs.append(pa.table({
                 "doc_id": pa.array(sub["doc_id"].to_numpy(), pa.int64()),
@@ -2049,14 +2079,15 @@ def mixture_schedule(sf_dir: str, weights: dict[str, int] | None = None,
 
 def mixture_schedule_sql(weights: dict[str, int] | None = None) -> str:
     w = dict(weights or MIX_WEIGHTS)
-    cases = " ".join(f"WHEN '{l}' THEN {MIX_LCM // wl}"
+    lcm = _mix_lcm(w)
+    cases = " ".join(f"WHEN '{l}' THEN {lcm // wl}"
                      for l, wl in sorted(w.items()))
     return f"""
 SELECT doc_id, lang,
        (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1)::BIGINT
            AS lang_rank,
        (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
-        * CASE lang {cases} ELSE {MIX_LCM} END)::BIGINT AS vt
+        * CASE lang {cases} ELSE {lcm} END)::BIGINT AS vt
 FROM documents
 """
 

@@ -393,8 +393,10 @@ def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
 
     qmat = queries["mat"].astype(np.float64)
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    # nprobe nearest lists per query
-    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    # nprobe nearest lists per query; kind="stable" so equal-cosine
+    # centroids keep index order, matching the SQL twin's
+    # ORDER BY cosine DESC, ct.c tie-break (repo tie-determinism rule)
+    probe = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :nprobe]
 
     ctx = ray.put({"cents": cents, "qid": queries["id"], "qn": qn,
                    "probe": probe, "k": k})
@@ -467,7 +469,7 @@ class _RadiusFilter:
         keep = self.qid[qi] != cid[ci]  # exclude self like knn
         return pa.table({
             "query_id": pa.array(self.qid[qi][keep]),
-            "doc_id": pa.array(cid[ci][keep]),
+            self.id_col: pa.array(cid[ci][keep]),
         })
 
 

@@ -236,3 +236,53 @@ class TestDedupIncremental:
         # in the delta (winner id >= 2_000_000)
         assert (inc["keep_id"] >= 2_000_000).any()
         assert (inc["keep_id"] < 1_000_000).any()
+
+
+class TestBucketCapSqlMirror:
+    """The SQL twin must replay the SAME capped pair graph above the cap:
+    a corpus whose noisy view puts >CAP docs in one bucket per band must
+    produce identical verified pairs in Ray and DuckDB."""
+
+    def test_twin_matches_above_cap(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        # shrink the cap for the test via the module constant the SQL
+        # builder reads (restored after)
+        old_cap = dedup.MINHASH_BUCKET_CAP
+        dedup.MINHASH_BUCKET_CAP = 6
+        try:
+            n = 20
+            text = ("parked domain placeholder page contact the registrar "
+                    "now for this premium name")
+            pq.write_table(pa.table({
+                "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+                "text": pa.array([text] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+            }), str(tmp_path / "documents.parquet"))
+
+            docs = textops.noisy_documents(str(tmp_path))
+            pairs = dedup.minhash_candidate_pairs(
+                docs, bucket_cap=dedup.MINHASH_BUCKET_CAP)
+            got = dedup.verify_jaccard_pairs_distributed(
+                pairs, textops.noisy_documents(str(tmp_path)),
+                threshold=textops.MINHASH_VERIFY_THRESHOLD).to_pandas()
+            got = got.sort_values(["a", "b"]).reset_index(drop=True)
+
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+            want = con.execute(textops.minhash_near_dups_sql()).df()
+            assert len(got) == len(want)
+            assert list(got["a"]) == list(want["a"])
+            assert list(got["b"]) == list(want["b"])
+            # above-cap shape really engaged: far fewer than C(m, 2)
+            m = len(set(got["a"]) | set(got["b"]))
+            assert len(got) < m * (m - 1) // 2
+        finally:
+            dedup.MINHASH_BUCKET_CAP = old_cap
