@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_rows": textops.dedup_exact_surviving,
         "dedup_incremental": textops.dedup_incremental,
         "knn_geo": _q_knn_geo,
+        "boundary_from_text": _q_boundary_from_text,
         "ann_cosine_lsh": vectors.ann_lsh,
         "ann_cosine_ivf": vectors.ann_ivf,
         "embedding_dups_lsh": vectors.embedding_dups_lsh,
@@ -1235,6 +1236,25 @@ b2x AS (SELECT * FROM (VALUES {bsrc.boundaries_values_sql(2)})
 """
 
 
+def _q_boundary_from_text(sf_dir: str):
+    """North-star end-to-end: admin polygons extracted FROM WEB TEXT by an
+    actor pool (synth boundary pages -> geo+json block parse -> canonical
+    WKB), then the full posm hierarchy lifecycle. Output equals
+    boundary_hierarchy (the extraction is byte-lossless), so the same SQL
+    twin checks it."""
+    import ray
+    import pyarrow as pa
+
+    from posm_ray.pipelines import boundary
+    from posm_ray.stages import extract as extract_stage
+
+    pages = ray.data.from_arrow(synth.boundary_pages())
+    raw = extract_stage.boundaries_from_pages(pages)
+    res = boundary.extract_hierarchy(raw)
+    return pa.concat_tables(
+        [res.levels[k].drop_columns(["geom_wkb"]) for k in (0, 1, 2)])
+
+
 def _q_boundary_hierarchy(sf_dir: str):
     """Accepted levels 0-2 of the posm extract lifecycle on the raw fixture
     (extract.py:92-355 semantics; sf_dir unused — boundary fixture input)."""
@@ -1556,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": _ann_cosine_sql(),
         "lang_quality": textops.lang_quality_sql(),
         "boundary_hierarchy": _boundary_hierarchy_sql(),
+        "boundary_from_text": _boundary_hierarchy_sql(),
         "drill_down": _drill_down_sql(),
         "all_geom": _all_geom_sql(),
         "simple_admin": _simple_admin_sql(),

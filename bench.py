@@ -182,6 +182,7 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     timed("kmeans_embeddings", lambda: qs["kmeans_embeddings"](sf_dir))
     timed("mixture_schedule", lambda: textops.mixture_schedule(sf_dir))
     timed("chunk_occupancy", lambda: textops.chunk_occupancy(sf_dir))
+    timed("boundary_from_text", lambda: qs["boundary_from_text"](sf_dir))
     return timings, steals
 
 

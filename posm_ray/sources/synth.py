@@ -193,3 +193,54 @@ def _doc_count(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+# ---------------------------------------------------------------------------
+# boundary-bearing pages (north-star: admin polygons extracted FROM TEXT)
+# ---------------------------------------------------------------------------
+
+def boundary_pages() -> pa.Table:
+    """Render the raw boundary fixture as web PAGES: each feature's
+    attributes + rings are embedded in the html as an
+    ``application/geo+json`` script block (coordinate lists for parseable
+    geometry; a wkb_hex passthrough for the corrupt-WKB validity-gate
+    row). The BoundaryFromText actor pool (stages.extract) parses these
+    back — the north star's 'extract OSM-style admin polygons from text'
+    stage, end-to-end lossless (json float repr round-trips float64
+    exactly, so re-encoded WKB is byte-identical)."""
+    import json
+
+    from ..geom import wkb as wkbmod
+    from . import boundaries as bsrc
+
+    raw = bsrc.raw_boundaries()
+    urls, htmls = [], []
+    for i in range(raw.num_rows):
+        row = {c: raw.column(c)[i].as_py() for c in raw.column_names}
+        geom = row.pop("geom_wkb")
+        try:
+            rings = wkbmod.wkb_to_rings(geom)
+            row["rings"] = [[[float(x), float(y)] for x, y in r]
+                            for r in rings]
+            enc = wkbmod.rings_to_wkb(
+                [np.asarray(r, dtype=np.float64) for r in row["rings"]])
+            if enc != geom:  # non-canonical wkb: fall back to passthrough
+                row.pop("rings")
+                row["wkb_hex"] = geom.hex()
+        except Exception:
+            row["wkb_hex"] = geom.hex()
+        payload = json.dumps(row, allow_nan=False, sort_keys=True)
+        urls.append(f"https://boundaries.test/feature/{i}")
+        htmls.append((
+            "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
+            f"<title>Boundary {i}</title></head>\n<body>\n"
+            "<nav><a href=\"/\">boundaries</a></nav>\n"
+            f'<script type="application/geo+json">{payload}</script>\n'
+            "</body></html>\n").encode("utf-8"))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(derive_warc_ts(np.arange(raw.num_rows))),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array([""] * raw.num_rows, pa.string()),
+        "lang": pa.array(["en"] * raw.num_rows, pa.string()),
+    })

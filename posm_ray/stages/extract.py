@@ -161,3 +161,68 @@ def link_graph(pages, *, concurrency=None, npartitions: int | None = None):
 
     return hash_rollup(partials, ["host", "path"], merge,
                        npartitions=npartitions, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# boundary extraction from text (north-star admin-polygon stage)
+# ---------------------------------------------------------------------------
+
+class BoundaryFromText:
+    """Actor-pool stage: boundary-bearing pages -> raw boundary rows
+    (layer, osm_id_raw, osm_way_id_raw, name, name_en, admin_level,
+    boundary, iso3166, geom_wkb). The geo+json script-block regex compiles
+    once per actor; rings re-encode to WKB with the same canonical writer
+    the loaders use, so extraction is byte-lossless. This is the
+    north-star 'extract OSM-style admin polygons from text' stage — the
+    posm reader (exposm/reader.py:37-73) re-expressed over web pages."""
+
+    _COLS = ("layer", "osm_id_raw", "osm_way_id_raw", "name", "name_en",
+             "admin_level", "boundary", "iso3166")
+
+    def __init__(self):
+        import re
+
+        self.block_re = re.compile(
+            rb'<script type="application/geo\+json">(.*?)</script>', re.S)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from ..geom import wkb as wkbmod
+
+        cols: dict[str, list] = {c: [] for c in self._COLS}
+        geoms: list[bytes] = []
+        for html in batch.column("html").to_pylist():
+            m = self.block_re.search(html)
+            if not m:
+                continue
+            row = json.loads(m.group(1))
+            for c in self._COLS:
+                cols[c].append(row.get(c))
+            if "rings" in row:
+                geoms.append(wkbmod.rings_to_wkb(
+                    [np.asarray(r, dtype=np.float64)
+                     for r in row["rings"]]))
+            else:
+                geoms.append(bytes.fromhex(row["wkb_hex"]))
+        out = {c: pa.array(cols[c], pa.string()) for c in self._COLS}
+        out["geom_wkb"] = pa.array(geoms, pa.binary())
+        return pa.table(out)
+
+
+def boundaries_from_pages(pages, *, concurrency=None) -> pa.Table:
+    """pages Dataset -> raw boundary TABLE (small side by nature: admin
+    polygons are a sketch-size fraction of any crawl). The actor pool does
+    the parse; the collected Arrow table then feeds the normalize /
+    hierarchy pipeline exactly like a file-loaded boundary set."""
+    import ray
+
+    out = pages.map_batches(
+        BoundaryFromText,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        concurrency=concurrency if concurrency is not None else default_pool(),
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables)

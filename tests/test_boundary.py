@@ -167,3 +167,32 @@ class TestGadmHierarchy:
         t = bsrc.gadm_tables()
         levels = gadm.extract_gadm_hierarchy({0: t[0], 1: t[1]})
         assert sorted(levels) == [0, 1]
+
+
+class TestBoundaryFromText:
+    def test_extraction_is_byte_lossless(self, ray_session):
+        """pages -> BoundaryFromText recovers the raw boundary table
+        exactly, including the corrupt-WKB validity-gate row (hex
+        passthrough) and every None attribute."""
+        import ray
+
+        from posm_ray.sources import boundaries as bsrc, synth
+        from posm_ray.stages import extract as ex
+
+        raw = bsrc.raw_boundaries()
+        pages = ray.data.from_arrow(synth.boundary_pages())
+        got = ex.boundaries_from_pages(pages)
+        assert got.num_rows == raw.num_rows
+        assert got.column_names == raw.column_names
+
+        def keyed(t):
+            rows = []
+            for i in range(t.num_rows):
+                rows.append(tuple(
+                    (t.column(c)[i].as_py() if c != "geom_wkb"
+                     else t.column(c)[i].as_py()) for c in t.column_names))
+            return sorted(rows, key=lambda r: tuple(
+                ("" if v is None else v.hex() if isinstance(v, bytes)
+                 else str(v)) for v in r))
+
+        assert keyed(got) == keyed(raw)
