@@ -187,7 +187,7 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
 
 
 STEAL_RETRY_PCT = 8.0  # round 3: 12% let visibly-stolen windows stand
-STEAL_RETRIES = int(os.environ.get("GRAFT_STEAL_RETRIES", "2"))
+STEAL_RETRIES = int(os.environ.get("GRAFT_STEAL_RETRIES", "3"))
 
 
 def single_run(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
