@@ -198,73 +198,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Dict ORDER is the driver-visibility rotation (COVERAGE.md §rotation):
     the correctness driver checks roughly the FIRST 50 entries in dict
     order per round, so entries are ranked by how stale their last driver
-    check is — (1) queries never driver-checked in any round, (2) queries
-    green in r1 that fell out of the r2 window, (3) queries whose
-    implementation changed this round plus a stable flagship/boundary
-    core, (4) queries green in r2 and untouched since (re-verified locally
-    via jobs/check_oracles.py)."""
+    check is — (1) queries whose latest driver row is round 2 (they fell
+    out of the round-3 window; the round-3 verdict's rotation rule: every
+    query's latest green row should be ≤1 round old), (2) queries whose
+    implementation changed in round 4 (geo quantization, simhash cap,
+    embedding zero-copy path, resumable oracle) plus the stable
+    flagship/boundary core, (3) queries green in r3 and untouched since
+    (re-verified locally each round via jobs/check_oracles.py)."""
     return {
-        # -- (1) never driver-checked before round 3 ----------------------
-        "drill_down": _q_drill_down,
-        "sliding_window": _q_sliding_window,
-        "stratified_sample": relational.stratified_sample,
-        "bloom_unseen": _q_bloom_unseen,
-        "raster_vectorize": _q_raster_vectorize,
-        "knn_geo_sharded": _q_knn_sharded,
-        "hll_register_sketch": _q_hll_registers,
-        "tile_pyramid": _q_tile_pyramid,
-        "surt_keys": _q_surt_keys,
-        "link_graph": _q_link_graph,
-        "pagerank_hosts": _q_pagerank_hosts,
-        "topology_arcs": _q_topology_arcs,
-        # -- (2) green in r1, dropped from the r2 window ------------------
-        "all_geom": _q_all_geom,
-        "simple_admin": _q_simple_admin,
-        "poly_export": _q_poly_export,
-        "resumable_tiles": _q_resumable_tiles,
-        "gadm_hierarchy": _q_gadm_hierarchy,
-        "sessionize": _q_sessionize,
-        "asof_prior_click": _q_asof,
-        "value_range_join": _q_range_join,
-        "props_k": _q_props_k,
-        "late_events": _q_late_events,
-        "doc_sample": relational.doc_sample,
-        "s2_covering": _q_s2_covering,
-        "media_resize": _q_media_resize,
-        "minhash_clusters": _q_minhash_clusters,
-        "approx_distinct_domains": _q_hll_domains,
-        "raster_tiles": _q_raster_tiles,
-        # -- (3) changed in round 3 + stable flagship/boundary core -------
-        "pack_sequences": textops.pack_sequences,
-        "geo_radius_join": _q_geo_radius,
-        "kmeans_embeddings": vectors.kmeans_embeddings,
-        "mixture_schedule": textops.mixture_schedule,
-        "chunk_occupancy": textops.chunk_occupancy,
-        "type_revenue": relational.type_revenue,
-        "events_hourly": relational.events_hourly,
-        "dedup_exact": textops.dedup_exact_winners,
-        "dedup_exact_rows": textops.dedup_exact_surviving,
-        "dedup_incremental": textops.dedup_incremental,
-        "knn_geo": _q_knn_geo,
-        "boundary_from_text": _q_boundary_from_text,
-        "ann_cosine_lsh": vectors.ann_lsh,
-        "ann_cosine_ivf": vectors.ann_ivf,
-        "embedding_dups_lsh": vectors.embedding_dups_lsh,
-        "chunk_dedup": textops.chunk_dedup,
-        "minhash_near_dups": textops.minhash_near_dups,
-        "simhash_near_dups": textops.simhash_near_dups,
-        "pip_join_rows": _q_join_rows,
-        "tiles_r7": _q_tiles,
-        "boundary_hierarchy": _q_boundary_hierarchy,
-        "boundary_discards": _q_boundary_discards,
-        "boundary_problems": _q_boundary_problems,
-        "ancestry": _q_ancestry,
-        "pricing_summary": relational.pricing_summary,
-        "top_customers": relational.top_customers,
-        "region_rollup": relational.region_rollup,
-        "order_priority": relational.order_priority,
-        # -- (4) green in r2, untouched since (beyond the ~50 window; ----
-        #        re-verified locally each round via jobs/check_oracles.py)
+        # -- (1) last driver row in round 2 --------------------------------
         "cell_assign": _q_cell_assign,
         "snap_to_grid": _q_snap_to_grid,
         "token_counts": textops.token_counts,
@@ -294,6 +236,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
+        "boundary_problems": _q_boundary_problems,
+        "ancestry": _q_ancestry,
+        "pricing_summary": relational.pricing_summary,
+        "top_customers": relational.top_customers,
+        "region_rollup": relational.region_rollup,
+        "order_priority": relational.order_priority,
+        # -- (2) changed in round 4 + stable flagship/boundary core --------
+        "knn_geo_sharded": _q_knn_sharded,
+        "knn_geo": _q_knn_geo,
+        "geo_radius_join": _q_geo_radius,
+        "geo_radius_join_bucketed": _q_geo_radius_bucketed,
+        "simhash_near_dups": textops.simhash_near_dups,
+        "embedding_dups_lsh": vectors.embedding_dups_lsh,
+        "ann_cosine_lsh": vectors.ann_lsh,
+        "ann_cosine_ivf": vectors.ann_ivf,
+        "kmeans_embeddings": vectors.kmeans_embeddings,
+        "resumable_tiles": _q_resumable_tiles,
+        "pip_join_rows": _q_join_rows,
+        "tiles_r7": _q_tiles,
+        "boundary_hierarchy": _q_boundary_hierarchy,
+        "boundary_discards": _q_boundary_discards,
+        "boundary_from_text": _q_boundary_from_text,
+        # -- (3) green in round 3, untouched since (beyond the ~50 window; -
+        #        re-verified locally each round via jobs/check_oracles.py)
+        "drill_down": _q_drill_down,
+        "sliding_window": _q_sliding_window,
+        "stratified_sample": relational.stratified_sample,
+        "bloom_unseen": _q_bloom_unseen,
+        "raster_vectorize": _q_raster_vectorize,
+        "hll_register_sketch": _q_hll_registers,
+        "tile_pyramid": _q_tile_pyramid,
+        "surt_keys": _q_surt_keys,
+        "link_graph": _q_link_graph,
+        "pagerank_hosts": _q_pagerank_hosts,
+        "topology_arcs": _q_topology_arcs,
+        "all_geom": _q_all_geom,
+        "simple_admin": _q_simple_admin,
+        "poly_export": _q_poly_export,
+        "gadm_hierarchy": _q_gadm_hierarchy,
+        "sessionize": _q_sessionize,
+        "asof_prior_click": _q_asof,
+        "value_range_join": _q_range_join,
+        "props_k": _q_props_k,
+        "late_events": _q_late_events,
+        "doc_sample": relational.doc_sample,
+        "s2_covering": _q_s2_covering,
+        "media_resize": _q_media_resize,
+        "minhash_clusters": _q_minhash_clusters,
+        "approx_distinct_domains": _q_hll_domains,
+        "raster_tiles": _q_raster_tiles,
+        "pack_sequences": textops.pack_sequences,
+        "mixture_schedule": textops.mixture_schedule,
+        "chunk_occupancy": textops.chunk_occupancy,
+        "type_revenue": relational.type_revenue,
+        "events_hourly": relational.events_hourly,
+        "dedup_exact": textops.dedup_exact_winners,
+        "dedup_exact_rows": textops.dedup_exact_surviving,
+        "dedup_incremental": textops.dedup_incremental,
+        "chunk_dedup": textops.chunk_dedup,
+        "minhash_near_dups": textops.minhash_near_dups,
     }
 
 
@@ -818,13 +820,17 @@ UNION ALL {child.format(lvl=3, parent=2)}
 def _q_resumable_tiles(sf_dir: str):
     """Flagship tile rollup through the checkpoint/lineage writer, run
     TWICE into the same directory: the second run must skip every
-    completed partition (resume semantics exercised end-to-end). Returns
-    the per-partition manifest table (rows-only check — bytes/checksums
-    are layout-dependent)."""
+    completed partition (resume semantics exercised end-to-end; the
+    kill-mid-write path is pytest territory, tests/test_checkpoint.py).
+    Returns the tile rows READ BACK from the resumed partitioned output —
+    which must equal the straight-through rollup, so the oracle is the
+    same SQL twin as tiles_r7 (_tiles_sql) and the query is hash-checked,
+    not rows-only (round-3 verdict task #6). Manifest row counts are
+    asserted against the read-back inline."""
     import shutil
     import tempfile
 
-    import pyarrow as pa
+    import pyarrow.dataset as pads
 
     from posm_ray.pipelines import flagship as fs
     from posm_ray.state import checkpoint
@@ -834,14 +840,12 @@ def _q_resumable_tiles(sf_dir: str):
         first = fs.tiles_resumable(sf_dir, out)
         second = fs.tiles_resumable(sf_dir, out)
         assert first["skipped"] == 0 and second["written"] == []
+        t = pads.dataset(out, format="parquet", partitioning="hive") \
+            .to_table(columns=["cell", "doc_count", "distinct_domains"])
         mans = checkpoint.read_manifests(out)
-        return pa.table({
-            "key": pa.array([m["key"] for m in mans], pa.string()),
-            "rows": pa.array([m["rows"] for m in mans], pa.int64()),
-            "files": pa.array([m["files"] for m in mans], pa.int64()),
-            "resumed_skipped": pa.array([second["skipped"]] * len(mans),
-                                        pa.int64()),
-        })
+        assert sum(m["rows"] for m in mans) == t.num_rows
+        assert second["skipped"] == len(mans) > 0
+        return t
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1363,8 +1367,10 @@ def _q_geo_radius(sf_dir: str):
 
 def _geo_radius_sql() -> str:
     """Twin of _q_geo_radius: identical op-order haversine (see
-    _knn_geo_sql), membership by dist <= R (float-boundary caveat noted in
-    knn.radius_join docstring)."""
+    _knn_geo_sql), membership by the millimetre-quantized compare
+    FLOOR(dist*1000) <= R*1000 — mirrors knn._RadiusFilter exactly, so a
+    libm 1-ulp divergence only matters within 1 mm of the radius (audited
+    per fixture by tests/test_knn_quantize.py)."""
     return f"""
 WITH pts AS (
   SELECT doc_id, {synth.lat_sql()} AS lat, {synth.lon_sql()} AS lon
@@ -1373,12 +1379,35 @@ q AS (SELECT * FROM pts WHERE doc_id BETWEEN 1 AND 16)
 SELECT q.doc_id AS query_id, p.doc_id AS doc_id
 FROM q CROSS JOIN pts p
 WHERE p.doc_id <> q.doc_id
-  AND 2.0 * 6371000.0 * ASIN(SQRT(
+  AND CAST(FLOOR(2.0 * 6371000.0 * ASIN(SQRT(
         POW(SIN((RADIANS(p.lat) - RADIANS(q.lat)) / 2.0), 2)
         + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))
           * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2)))
-      <= {GEO_RADIUS_M}
+        * 1000.0) AS BIGINT)
+      <= {int(GEO_RADIUS_M * 1000)}
 """
+
+
+def _q_geo_radius_bucketed(sf_dir: str):
+    """The bucketed LARGE-Q scale path of the radius join
+    (knn.radius_join_bucketed): queries bucketed by the coarse-cell
+    covering of their radius disc, candidates scan only co-located
+    queries. Exact — same output (and same SQL twin) as geo_radius_join;
+    equality is also pytest-pinned."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from posm_ray.stages import extract as extract_stage, knn
+
+    pages = synth.read_pages(sf_dir)
+    ds = extract_stage.extracted_pages(pages).map_batches(
+        lambda b: b.filter(pc.equal(b["geocoded"], True)),
+        batch_format="pyarrow")
+    qid = np.arange(1, 17, dtype=np.int64)
+    queries_d = {"id": qid, "lat": synth.derive_lat(qid),
+                 "lon": synth.derive_lon(qid)}
+    return knn.radius_join_bucketed(ds, queries_d, GEO_RADIUS_M,
+                                    id_col="doc_id", cell_res=2)
 
 
 def _q_knn_geo(sf_dir: str):
@@ -1405,11 +1434,13 @@ def _q_knn_geo(sf_dir: str):
 def _knn_geo_sql() -> str:
     """DuckDB twin of _q_knn_geo: same haversine shape (radians first, then
     differences — mirrors geom.kernels.haversine_m's op order), ranking by
-    (distance, neighbor_id). Only (query_id, neighbor_id, rank) are
-    compared — the float distance column is dropped on both sides, so libm
-    differences can only matter on near-ties, which the synthetic coords
-    don't produce (exact ties — duplicated mega-cell points — break by
-    neighbor_id identically on both sides)."""
+    (dist_mm, neighbor_id) where dist_mm = FLOOR(dist * 1000) AS BIGINT —
+    the millimetre quantization mirrors knn.quantize_dist_m, so a libm
+    1-ulp sin/asin divergence between numpy and DuckDB cannot flip a
+    near-tie rank (repo float rule; boundary band audited by
+    tests/test_knn_quantize.py). Only (query_id, neighbor_id, rank) are
+    compared; exact ties (duplicated mega-cell points) break by
+    neighbor_id identically on both sides."""
     return f"""
 WITH pts AS (
   SELECT doc_id, {synth.lat_sql()} AS lat, {synth.lon_sql()} AS lon
@@ -1417,15 +1448,16 @@ WITH pts AS (
 q AS (SELECT * FROM pts WHERE doc_id BETWEEN 1 AND 16),
 d AS (
   SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
-         2.0 * 6371000.0 * ASIN(SQRT(
+         CAST(FLOOR(2.0 * 6371000.0 * ASIN(SQRT(
            POW(SIN((RADIANS(p.lat) - RADIANS(q.lat)) / 2.0), 2)
            + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))
-             * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2))) AS dist
+             * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2)))
+           * 1000.0) AS BIGINT) AS dist_mm
   FROM q CROSS JOIN pts p WHERE p.doc_id <> q.doc_id)
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY dist, neighbor_id) AS rank
+                            ORDER BY dist_mm, neighbor_id) AS rank
   FROM d) WHERE rank <= 5
 """
 
@@ -1435,9 +1467,14 @@ def _knn_sharded_sql() -> str:
     exactly to SQL: query q (owned by its home res-2 cell) sees candidate p
     iff q's cell is in p's 3x3 halo, i.e. their cell indices differ by <=1
     (longitude wraps mod nx; the pole clamp only collapses duplicate halo
-    shards, never widens the +-1 band). Ranking is (dist, neighbor_id) —
-    the Ray side pre-sorts candidates by id and stable-argsorts distance,
-    which is the same order. Only (query_id, neighbor_id, rank) compared."""
+    shards, never widens the +-1 band). Ranking is (dist_mm, neighbor_id)
+    with dist_mm = FLOOR(dist * 1000) AS BIGINT — the same millimetre
+    quantization as knn.quantize_dist_m (repo float rule: the r3 driver
+    red on this query was a ~1-ulp libm sin/asin divergence flipping a
+    near-tie rank; integer ranks can only flip within the audited 1-mm
+    boundary band, tests/test_knn_quantize.py). The Ray side pre-sorts
+    candidates by id and stable-argsorts the quantized distance, which is
+    the same order. Only (query_id, neighbor_id, rank) compared."""
     nx, ny = 1 << 9, 1 << 8  # cells.ncols(2), cells.nrows(2)
     return f"""
 WITH pts AS (
@@ -1452,10 +1489,11 @@ cells AS (
   FROM pts),
 d AS (
   SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
-         2.0 * 6371000.0 * ASIN(SQRT(
+         CAST(FLOOR(2.0 * 6371000.0 * ASIN(SQRT(
            POW(SIN((RADIANS(p.lat) - RADIANS(q.lat)) / 2.0), 2)
            + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))
-             * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2))) AS dist
+             * POW(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2)))
+           * 1000.0) AS BIGINT) AS dist_mm
   FROM cells q JOIN cells p
     ON p.doc_id <> q.doc_id
    AND LEAST((p.ix - q.ix + {nx}) % {nx}, (q.ix - p.ix + {nx}) % {nx}) <= 1
@@ -1463,7 +1501,7 @@ d AS (
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY dist, neighbor_id) AS rank
+                            ORDER BY dist_mm, neighbor_id) AS rank
   FROM d) WHERE rank <= 3
 """
 
@@ -1509,6 +1547,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_join_rows": _join_rows_sql(),
         "tiles_r7": _tiles_sql(),
+        # resumable_tiles reads the resumed partitioned output back; it
+        # must equal the straight-through rollup -> same twin as tiles_r7
+        "resumable_tiles": _tiles_sql(),
         "cell_assign": _cell_assign_sql(),
         "snap_to_grid": _snap_sql(),
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
@@ -1519,6 +1560,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "pack_sequences": textops.pack_sequences_sql(),
         "geo_radius_join": _geo_radius_sql(),
+        # the bucketed scale path is EXACT -> same twin as the dense join
+        "geo_radius_join_bucketed": _geo_radius_sql(),
         "kmeans_embeddings": vectors.kmeans_embeddings_sql(),
         "mixture_schedule": textops.mixture_schedule_sql(),
         "chunk_occupancy": textops.chunk_occupancy_sql(),
@@ -1600,7 +1643,6 @@ def oracle_sql() -> dict[str, str]:
         # Intentionally omitted (rows-only checks): poly_export (DuckDB's
         # printf('%.6E') rounds half-boundary mantissas differently from C
         # printf — byte parity impossible in SQL; golden pytest instead),
-        # resumable_tiles (layout-dependent manifests),
         # approx_distinct_domains (HLL estimate — its register STATE is
         # hash-checked via hll_register_sketch instead).
     }

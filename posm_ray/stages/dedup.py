@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from ..functions import hashing, text as textfn
 
-from ..util import default_pool
+from ..util import default_pool, list_to_matrix
 
 
 def add_content_hash(ds, text_col: str = "text"):
@@ -443,10 +443,22 @@ def near_dup_clusters(verified_pairs: pd.DataFrame) -> dict[int, int]:
 # O(tile^2) per block regardless of bucket size.
 _SIMHASH_TILE = 1024
 
+# Per-bucket pair-OUTPUT cap, same shape as MINHASH_BUCKET_CAP: a
+# mass-identical corpus (boilerplate/parked pages) lands one degenerate
+# prefix bucket whose full verify would EMIT C(n,2) result rows even
+# though the tiled matrix bounds the memory. Members beyond the cap are
+# verified only against the bucket's min id (the hub): connectivity
+# through the hub is preserved for the identical-text runs that cause the
+# blowup (hamming 0), so downstream clustering is unchanged, and output
+# is O(cap^2 + n) per bucket. Below the cap the output — and thus the
+# oracle hash — is identical to the uncapped verify.
+SIMHASH_BUCKET_CAP = 256
+
 
 def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
                   ntables: int = 1,
-                  id_col: str = "doc_id", text_col: str = "text"):
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bucket_cap: int = SIMHASH_BUCKET_CAP):
     """SimHash near-dup: bucket by the top ``prefix_bits`` of the
     fingerprint, verify hamming distance within buckets.
 
@@ -488,8 +500,11 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
         (a hot prefix bucket stays O(bucket^2) *numpy* work, not python).
         The XOR/popcount matrix is TILED (``_SIMHASH_TILE`` x
         ``_SIMHASH_TILE`` upper-triangle blocks) so a degenerate hot-prefix
-        bucket costs O(tile^2) memory, never O(bucket^2) — compute stays
-        O(bucket^2) by semantics (exact pairwise verify), memory does not."""
+        bucket costs O(tile^2) memory, never O(bucket^2); the pair OUTPUT
+        is additionally capped (``bucket_cap``): full pairwise verify over
+        the first ``bucket_cap`` ids, the overflow tail verified only
+        against the hub (min id) — O(cap^2 + n) emitted rows, never
+        C(n,2)."""
         out_a, out_b, out_h = [], [], []
         for _, g in part.groupby(["tbl", "bucket"], sort=False):
             order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
@@ -498,11 +513,12 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
             m = len(ids)
             if m < 2:
                 continue
+            head = min(m, bucket_cap)
             C = _SIMHASH_TILE
-            for i0 in range(0, m, C):
-                i1 = min(i0 + C, m)
-                for j0 in range(i0, m, C):
-                    j1 = min(j0 + C, m)
+            for i0 in range(0, head, C):
+                i1 = min(i0 + C, head)
+                for j0 in range(i0, head, C):
+                    j1 = min(j0 + C, head)
                     x = sig[i0:i1, None] ^ sig[None, j0:j1]
                     # popcount via unpackbits over the raw bytes (numpy<2
                     # has no bitwise_count)
@@ -517,6 +533,16 @@ def simhash_pairs(ds, *, max_hamming: int = 3, prefix_bits: int = 16,
                         out_a.append(ids[ri + i0])
                         out_b.append(ids[ci + j0])
                         out_h.append(ham[ri, ci])
+            if m > bucket_cap:  # star the overflow tail to the hub
+                x = sig[0] ^ sig[bucket_cap:]
+                ham = np.unpackbits(
+                    x.view(np.uint8).reshape(m - bucket_cap, 8),
+                    axis=1).sum(axis=1).astype(np.int64)
+                hit = np.nonzero(ham <= max_hamming)[0]
+                if len(hit):
+                    out_a.append(np.full(len(hit), ids[0], dtype=np.int64))
+                    out_b.append(ids[hit + bucket_cap])
+                    out_h.append(ham[hit])
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),
@@ -569,8 +595,7 @@ def embedding_near_dups_lsh(embeddings, *, threshold: float = 0.9,
 
     def explode(batch: pa.Table) -> pa.Table:
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch.column("embedding").to_pylist(),
-                         dtype=np.float64)
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
         if len(vid) == 0:
             return pa.table({"tbl": pa.array([], pa.int32()),
                              "bucket": pa.array([], pa.int64()),

@@ -22,7 +22,30 @@ import pyarrow as pa
 from .. import cells
 from ..geom.kernels import haversine_m
 
-from ..util import default_pool
+from ..util import default_pool, list_to_matrix
+
+# Geo ranking is done on an INTEGER-quantized distance (whole millimetres,
+# floor(dist_m * 1e3)) rather than the raw float64 haversine. Rationale
+# (the repo float rule, CLAUDE.md): numpy and DuckDB run different libm
+# implementations of sin/asin, which can differ by ~1 ulp — enough to flip
+# the rank of a near-tie pair between environments even when the op order
+# is identical on both sides. Quantizing collapses any sub-millimetre
+# difference into an exact int64 tie that both sides break by neighbor_id
+# identically. The residual failure window (a distance within ~1 ulp of a
+# millimetre boundary) is audited per fixture by
+# tests/test_knn_quantize.py: every distance's d*1e3 fractional part is
+# bounded away from the integer boundary, and adjacent-rank gaps exceed
+# the quantum, so quantized ranks equal unquantized ranks at every sf.
+DIST_SCALE = 1000.0  # quantum = 1 mm
+
+# int64 sentinel for excluded (self) slots in quantized distance matrices
+_DIST_INF = np.iinfo(np.int64).max
+
+
+def quantize_dist_m(d: np.ndarray) -> np.ndarray:
+    """floor(dist_m * 1000) as int64 — the rank key (twin:
+    ``CAST(FLOOR(dist * 1000.0) AS BIGINT)``)."""
+    return np.floor(d * DIST_SCALE).astype(np.int64)
 
 
 class _PartialTopK:
@@ -51,27 +74,29 @@ class _PartialTopK:
         # many equidistant candidates (e.g. duplicated mega-cell points)
         # argpartition would keep an arbitrary subset and drop tied
         # candidates the final merge should have ranked; lexsort keeps the
-        # kk smallest under the same (dist, neighbor_id) order the merge
-        # uses.
+        # kk smallest under the same (dist_mm, neighbor_id) order the
+        # merge uses. Ranking is on the millimetre-quantized distance
+        # (see DIST_SCALE note above) so the rank is libm-independent.
         for i in range(len(self.qid)):
-            d = haversine_m(self.qlat[i], self.qlon[i], clat, clon)
-            kk = min(self.k, len(d))
-            idx = np.lexsort((cid, d))[:kk]
+            dq = quantize_dist_m(
+                haversine_m(self.qlat[i], self.qlon[i], clat, clon))
+            kk = min(self.k, len(dq))
+            idx = np.lexsort((cid, dq))[:kk]
             out_q.append(np.full(kk, self.qid[i], dtype=np.int64))
             out_n.append(cid[idx])
-            out_d.append(d[idx])
+            out_d.append(dq[idx])
         if not out_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
-                             "dist_m": pa.array([], pa.float64())})
+                             "dist_mm": pa.array([], pa.int64())})
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q)),
             "neighbor_id": pa.array(np.concatenate(out_n)),
-            "dist_m": pa.array(np.concatenate(out_d)),
+            "dist_mm": pa.array(np.concatenate(out_d)),
         })
 
 
-def _merge_topk(k: int, exclude_self: bool, by: str = "dist_m",
+def _merge_topk(k: int, exclude_self: bool, by: str = "dist_mm",
                 ascending: bool = True):
     """Vectorized per-partition top-k merge: ALL queries hashed to this
     partition in one pandas pass (sort -> per-group head -> cumcount rank);
@@ -158,20 +183,21 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
         if not frames:
             return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
                                  "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "dist_m": pd.Series([], dtype=np.float64),
+                                 "dist_mm": pd.Series([], dtype=np.int64),
                                  "rank": pd.Series([], dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         """Fully vectorized per-shard kNN: one (Q, N) haversine matrix,
-        candidates pre-sorted by id so a row-wise STABLE argsort on
-        distance gives the (dist, neighbor_id) tie order without a
-        per-query python loop."""
+        candidates pre-sorted by id so a row-wise STABLE argsort on the
+        millimetre-quantized distance gives the (dist_mm, neighbor_id) tie
+        order without a per-query python loop (quantization rationale at
+        DIST_SCALE)."""
         shard = g["shard"].iloc[0]
         owners = g[g["home"] == shard]  # points whose home is this shard
         if len(owners) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist_m": [],
-                                 "rank": []})
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "dist_mm": [], "rank": []})
         order_c = np.argsort(g[id_col].to_numpy(), kind="stable")
         cid = g[id_col].to_numpy()[order_c]
         clat = g["lat"].to_numpy()[order_c]
@@ -179,19 +205,19 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
         qid = owners[id_col].to_numpy()
         qlat = owners["lat"].to_numpy()
         qlon = owners["lon"].to_numpy()
-        d = haversine_m(qlat[:, None], qlon[:, None],
-                        clat[None, :], clon[None, :])
-        d[qid[:, None] == cid[None, :]] = np.inf  # exclude self
-        kk = min(k, d.shape[1])
-        top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        dq = quantize_dist_m(haversine_m(qlat[:, None], qlon[:, None],
+                                         clat[None, :], clon[None, :]))
+        dq[qid[:, None] == cid[None, :]] = _DIST_INF  # exclude self
+        kk = min(k, dq.shape[1])
+        top = np.argsort(dq, axis=1, kind="stable")[:, :kk]
         rows_q = np.repeat(qid, kk)
         rows_n = cid[top].ravel()
-        rows_d = np.take_along_axis(d, top, axis=1).ravel()
+        rows_d = np.take_along_axis(dq, top, axis=1).ravel()
         rows_r = np.tile(np.arange(1, kk + 1, dtype=np.int64), len(qid))
-        keep = np.isfinite(rows_d)  # drop padded self-only slots
+        keep = rows_d != _DIST_INF  # drop padded self-only slots
         return pd.DataFrame({
             "query_id": rows_q[keep], "neighbor_id": rows_n[keep],
-            "dist_m": rows_d[keep], "rank": rows_r[keep]})
+            "dist_mm": rows_d[keep], "rank": rows_r[keep]})
 
     from ..util import hash_rollup
 
@@ -220,7 +246,7 @@ class _CosinePartialTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         emb = emb / norms
@@ -295,7 +321,7 @@ def ann_cosine_lsh(embeddings, queries: dict, *, k: int = 5, nplanes: int = 8,
     def per_batch(batch: pa.Table) -> pa.Table:
         c = ray.get(ctx) if not isinstance(ctx, dict) else ctx
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         embn = emb / norms
@@ -404,7 +430,7 @@ def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
     def per_batch(batch: pa.Table) -> pa.Table:
         c = ray.get(ctx) if not isinstance(ctx, dict) else ctx
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
         n = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         embn = emb / n
         lists = (embn @ c["cents"].T).argmax(axis=1)
@@ -456,16 +482,20 @@ class _RadiusFilter:
         self.qid = np.asarray(q["id"], dtype=np.int64)
         self.qlat = np.asarray(q["lat"], dtype=np.float64)
         self.qlon = np.asarray(q["lon"], dtype=np.float64)
-        self.radius_m = radius_m
+        # membership compare on quantized millimetres (DIST_SCALE note):
+        # floor(d*1e3) <= radius_m*1e3 — libm-independent away from the
+        # (audited) 1-mm boundary band around the radius
+        self.radius_mm = int(round(radius_m * DIST_SCALE))
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         clat = batch.column("lat").to_numpy(zero_copy_only=False)
         clon = batch.column("lon").to_numpy(zero_copy_only=False)
-        d = haversine_m(self.qlat[:, None], self.qlon[:, None],
-                        clat[None, :], clon[None, :])
-        qi, ci = np.nonzero(d <= self.radius_m)
+        dq = quantize_dist_m(haversine_m(self.qlat[:, None],
+                                         self.qlon[:, None],
+                                         clat[None, :], clon[None, :]))
+        qi, ci = np.nonzero(dq <= self.radius_mm)
         keep = self.qid[qi] != cid[ci]  # exclude self like knn
         return pa.table({
             "query_id": pa.array(self.qid[qi][keep]),
@@ -473,15 +503,148 @@ class _RadiusFilter:
         })
 
 
+# degrees of latitude per metre on the R=6371000 sphere (meridian arc is
+# exact: deg = m * 180 / (pi * R)); 1.001 safety factor keeps the bbox a
+# strict superset under float error — over-covering is always safe because
+# membership is re-verified with the exact haversine.
+_DEG_PER_M = 180.0 / (np.pi * 6371000.0) * 1.001
+
+
+def _radius_query_buckets(queries: dict, radius_m: float, cell_res: int):
+    """Driver-side (small-Q-side) index for the bucketed radius join:
+    cell id -> int array of query indices whose radius disc can intersect
+    that cell. Each query's disc is bounded by a conservative lat/lon bbox
+    (exact meridian bound for latitude; parallel bound divided by the
+    worst-case cos(lat) inside the lat band for longitude; full longitude
+    range near the poles), covered with cells.covering (antimeridian-wrap
+    aware)."""
+    qlat = np.asarray(queries["lat"], dtype=np.float64)
+    qlon = np.asarray(queries["lon"], dtype=np.float64)
+    dlat = radius_m * _DEG_PER_M
+    # longitude bound derived FROM the haversine itself: for any point p
+    # in the disc, hav(dlam) <= hav(r/R) / (cos(lat_q) cos(lat_p)), so
+    # dlam <= 2 asin(sin(r/2R) / cos(worst lat in the band)) — provably a
+    # superset (a linear dlat/cos bound UNDER-covers at high latitude:
+    # the asin's cubic term grows as 1/cos^3).
+    s = np.sin(radius_m / (2.0 * 6371000.0))
+    buckets: dict[int, list[int]] = {}
+    for i in range(len(qlat)):
+        lat0 = max(qlat[i] - dlat, -90.0)
+        lat1 = min(qlat[i] + dlat, 90.0)
+        worst = max(abs(lat0), abs(lat1))
+        cosmin = np.cos(np.radians(min(worst, 90.0)))
+        if worst >= 89.9 or s / max(cosmin, 1e-12) >= 0.999:
+            lon0, lon1 = -180.0, 180.0
+        else:
+            dlon = np.degrees(2.0 * np.arcsin(s / cosmin)) * 1.001
+            if 2.0 * dlon >= 360.0:
+                lon0, lon1 = -180.0, 180.0
+            else:
+                lon0, lon1 = qlon[i] - dlon, qlon[i] + dlon
+                # normalize into [-180, 180] so a cross-antimeridian box
+                # takes the covering's split path instead of clamping flat
+                if lon0 < -180.0:
+                    lon0 += 360.0
+                if lon1 > 180.0:
+                    lon1 -= 360.0
+        for c in cells.covering(lon0, lat0, lon1, lat1, cell_res):
+            buckets.setdefault(int(c), []).append(i)
+    return {c: np.asarray(v, dtype=np.int64) for c, v in buckets.items()}
+
+
+class _RadiusCellFilter:
+    """Bucketed radius join stage (the LARGE-Q scale path): instead of the
+    dense (Q, N) matrix per batch, candidates group by their coarse cell
+    and each cell is scanned only against the queries whose radius-disc
+    covering includes it (broadcast dict built once driver-side). Exact —
+    the covering is a superset prefilter and membership is the same
+    quantized haversine compare as _RadiusFilter."""
+
+    def __init__(self, q_ref, radius_m: float, id_col: str, cell_res: int):
+        q = q_ref
+        if not isinstance(q, dict):
+            import ray
+
+            q = ray.get(q_ref)
+        self.qid = np.asarray(q["id"], dtype=np.int64)
+        self.qlat = np.asarray(q["lat"], dtype=np.float64)
+        self.qlon = np.asarray(q["lon"], dtype=np.float64)
+        self.buckets = q["buckets"]
+        self.radius_mm = int(round(radius_m * DIST_SCALE))
+        self.id_col = id_col
+        self.cell_res = cell_res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        clat = batch.column("lat").to_numpy(zero_copy_only=False)
+        clon = batch.column("lon").to_numpy(zero_copy_only=False)
+        ccell = cells.cell_id(clat, clon, self.cell_res)
+        order = np.argsort(ccell, kind="stable")
+        uc, starts = np.unique(ccell[order], return_index=True)
+        out_q, out_c = [], []
+        bounds = np.append(starts, len(order))
+        for j in range(len(uc)):
+            qidx = self.buckets.get(int(uc[j]))
+            if qidx is None:
+                continue
+            rows = order[bounds[j]:bounds[j + 1]]
+            dq = quantize_dist_m(haversine_m(
+                self.qlat[qidx][:, None], self.qlon[qidx][:, None],
+                clat[rows][None, :], clon[rows][None, :]))
+            qi, ci = np.nonzero(dq <= self.radius_mm)
+            a = self.qid[qidx][qi]
+            b = cid[rows][ci]
+            keep = a != b
+            out_q.append(a[keep])
+            out_c.append(b[keep])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_c)),
+        })
+
+
+def radius_join_bucketed(ds, queries: dict, radius_m: float, *,
+                         id_col: str = "doc_id", cell_res: int = 2,
+                         concurrency=None):
+    """Exact geofencing radius join, bucketed — the documented large-Q
+    scale path of :func:`radius_join` made real: per-batch work is
+    O(sum over present cells of |q_cell| x |cand_cell|) instead of the
+    dense O(Q x N) matmul, so a query set of millions only costs where
+    discs actually overlap candidates. Output is identical to
+    :func:`radius_join` (pytest-pinned): the covering is a conservative
+    superset and every pair is re-verified with the same quantized
+    haversine. ``cell_res`` trades prefilter sharpness against the size
+    of the broadcast bucket dict (cells must be >= the radius scale to
+    keep per-query coverings small)."""
+    import ray
+
+    payload = dict(queries)
+    payload["buckets"] = _radius_query_buckets(queries, radius_m, cell_res)
+    ref = ray.put(payload)
+    return ds.map_batches(
+        _RadiusCellFilter,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        fn_constructor_kwargs={"q_ref": ref, "radius_m": radius_m,
+                               "id_col": id_col, "cell_res": cell_res},
+        concurrency=concurrency if concurrency is not None else default_pool(),
+    )
+
+
 def radius_join(ds, queries: dict, radius_m: float, *, id_col: str = "doc_id",
                 concurrency=None):
     """(query_id, doc_id) pairs for every candidate within ``radius_m`` of
     a query point — exact haversine geofencing with zero shuffles.
 
-    Oracle note: membership is a float threshold compare; the DuckDB twin
-    uses the identical op-order haversine, so divergence needs a distance
-    within ~1 ulp of the radius, which the synthetic coordinate family
-    never produces (verified over all sf fixtures)."""
+    Oracle note: membership compares the millimetre-quantized distance
+    (``floor(d*1e3) <= radius_m*1e3``, twin identical), so a libm 1-ulp
+    divergence can only matter for a distance within ~1 ulp of a
+    millimetre boundary at the radius; tests/test_knn_quantize.py audits
+    that every fixture distance stays >1 mm away from the radius."""
     import ray
 
     ref = ray.put(queries)  # broadcast once; actors ray.get in __init__

@@ -48,7 +48,14 @@ def hash_rollup(ds, keys: list[str], merge_fn, *, npartitions: int | None = None
         merge_fn, batch_format=batch_format, batch_size=None)
 
 
-def pin_small(ds):
+# pin_small is for SKETCH-SIZE aggregates only; the guard makes misuse on
+# a raw stream a hard error instead of a silent scale/fault-tolerance bug.
+PIN_SMALL_MAX_ROWS = 2_000_000
+PIN_SMALL_MAX_BYTES = 256 * 1024 * 1024
+
+
+def pin_small(ds, *, max_rows: int = PIN_SMALL_MAX_ROWS,
+              max_bytes: int = PIN_SMALL_MAX_BYTES):
     """Materialize a SKETCH-SIZE dataset and CUT its lineage: the blocks
     stay distributed in the object store (``to_arrow_refs`` →
     ``from_arrow_refs``, no driver collect), but the returned dataset no
@@ -57,13 +64,62 @@ def pin_small(ds):
     keeps its aggregator-actor pool alive until the consumer is GC'd —
     pools accumulate across pipelines in one session and measurably slow
     every later execution (tile_pyramid back-to-back: 11→18→21 s leaking
-    vs flat ~8 s collected). Only ever use this on bounded/sketch-size
-    aggregates (the same rule as ``.materialize()`` per CLAUDE.md);
-    the raw stream must never be pinned."""
+    vs flat ~8 s collected).
+
+    FAULT-TOLERANCE CONTRACT (multi-node): cutting lineage makes the
+    pinned blocks UNRECOVERABLE on node loss — Ray cannot recompute a
+    block whose plan was dropped, so a consumer hits an object-lost error
+    instead of a transparent re-execution. That trade is acceptable only
+    because pin_small is restricted to bounded sketch-size aggregates
+    (thresholds, vocab tables, centroids, label maps): the recovery story
+    is re-running the cheap producer pipeline, not recovering the block.
+    The guard below enforces the restriction — a dataset above
+    ``max_rows``/``max_bytes`` raises instead of pinning, so the helper
+    can never be misapplied to a raw stream."""
     import ray
 
     mat = ds.materialize()
+    rows, nbytes = mat.count(), mat.size_bytes()
+    if rows > max_rows or (nbytes or 0) > max_bytes:
+        raise ValueError(
+            f"pin_small is for sketch-size aggregates only: got {rows} rows"
+            f" / {nbytes} bytes (caps {max_rows} rows / {max_bytes} bytes)."
+            " Pinning a raw stream would cut its lineage (unrecoverable on"
+            " node loss) and hold the full dataset in the object store —"
+            " keep the stream lazy instead.")
     return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+
+def list_to_matrix(col, dtype=None) -> "np.ndarray":
+    """(N, D) numpy matrix view of an Arrow ``list<T>`` /
+    ``fixed_size_list<T>`` column WITHOUT the per-row ``to_pylist()``
+    round-trip (measured: the pylist path dominated per-batch time in the
+    embedding stages). ``flatten()`` handles chunk offsets/slices; the
+    reshape is valid iff all rows share one width, which is asserted via
+    the offsets. Zero-copy from the Arrow buffer when the values are
+    null-free primitives and no dtype change is needed; otherwise one
+    contiguous copy (never a python object per element)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype or np.float64)
+    if col.null_count:  # nulls can't view as a dense matrix
+        return np.asarray(col.to_pylist(), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        width = col.type.list_size
+    else:
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if not (widths == widths[0]).all():
+            return np.asarray(col.to_pylist(), dtype=dtype)
+        width = int(widths[0])
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    mat = flat.reshape(n, width)
+    return mat if dtype is None else mat.astype(dtype, copy=False)
 
 
 def default_pool(min_size: int = 1) -> tuple[int, int]:

@@ -286,3 +286,93 @@ class TestBucketCapSqlMirror:
             assert len(got) < m * (m - 1) // 2
         finally:
             dedup.MINHASH_BUCKET_CAP = old_cap
+
+class TestSimhashBucketCap:
+    """Degenerate simhash prefix bucket (mass-identical corpus): the pair
+    OUTPUT must be O(cap^2 + n), never C(n,2) — same star-to-hub shape as
+    the minhash candidate cap — while keeping the component connected."""
+
+    N = 60
+    CAP = 8
+
+    def _docs(self):
+        import ray.data as rd
+
+        text = "parked domain placeholder page contact the registrar now"
+        return rd.from_items(
+            [{"doc_id": i + 100, "text": text} for i in range(self.N)])
+
+    def test_pair_count_bounded_and_cluster_exact(self, ray_session):
+        from posm_ray.stages import dedup
+
+        pairs = dedup.simhash_pairs(
+            self._docs(), max_hamming=3, bucket_cap=self.CAP).materialize()
+        n_pairs = pairs.count()
+        full = self.N * (self.N - 1) // 2
+        star = self.CAP * (self.CAP - 1) // 2 + (self.N - self.CAP)
+        assert n_pairs == star < full
+        # identical texts: hamming 0 everywhere, star keeps it one cluster
+        out = dedup.near_dup_clusters_distributed(pairs).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(101, 100 + self.N))
+        assert (out["cluster_rep"] == 100).all()
+
+    def test_uncapped_pairs_identical_below_cap(self, ray_session):
+        """Buckets below the cap emit byte-identical pairs with and without
+        the cap (sf corpora stay below it -> oracle hashes cannot move)."""
+        import ray.data as rd
+
+        from posm_ray.stages import dedup
+
+        docs = rd.from_items(
+            [{"doc_id": i, "text": f"shared boilerplate text body {i % 3}"}
+             for i in range(12)])
+        a = dedup.simhash_pairs(
+            docs, max_hamming=6,
+            bucket_cap=dedup.SIMHASH_BUCKET_CAP).to_pandas()
+        b = dedup.simhash_pairs(docs, max_hamming=6,
+                                bucket_cap=10**9).to_pandas()
+        a = a.sort_values(["a", "b"]).reset_index(drop=True)
+        b = b.sort_values(["a", "b"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
+
+    def test_twin_matches_above_cap(self, ray_session, tmp_path):
+        """The SQL twin replays the SAME capped pair graph above the cap."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from posm_ray.pipelines import textops
+        from posm_ray.stages import dedup
+
+        old_cap = dedup.SIMHASH_BUCKET_CAP
+        dedup.SIMHASH_BUCKET_CAP = 6  # the SQL builder reads it at call time
+        try:
+            n = 20
+            text = ("parked domain placeholder page contact the registrar "
+                    "now for this premium name")
+            pq.write_table(pa.table({
+                "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+                "text": pa.array([text] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+            }), str(tmp_path / "documents.parquet"))
+
+            got = dedup.simhash_pairs(
+                textops.noisy_documents(str(tmp_path)),
+                max_hamming=textops.SIMHASH_MAX_HAMMING,
+                prefix_bits=textops.SIMHASH_PREFIX_BITS,
+                bucket_cap=dedup.SIMHASH_BUCKET_CAP).to_pandas()
+            got = got.sort_values(["a", "b"]).reset_index(drop=True)
+
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+            want = con.execute(textops.simhash_near_dups_sql()).df()
+            assert len(got) == len(want) > 0
+            assert list(got["a"]) == list(want["a"])
+            assert list(got["b"]) == list(want["b"])
+            assert list(got["hamming"]) == list(want["hamming"])
+            m = len(set(got["a"]) | set(got["b"]))
+            assert len(got) < m * (m - 1) // 2
+        finally:
+            dedup.SIMHASH_BUCKET_CAP = old_cap

@@ -397,6 +397,23 @@ class TestPinSmall:
         # consume a second time: pinned datasets are re-readable
         assert pinned.count() == 7
 
+    def test_refuses_raw_stream(self, ray_session):
+        """The sketch-size guard: pinning above the row/byte bound raises
+        (lineage-cut blocks are unrecoverable on node loss — only cheap
+        re-runnable aggregates may pin; see util.pin_small docstring)."""
+        import pytest as _pytest
+        import ray
+
+        from posm_ray.util import pin_small
+
+        big = ray.data.range(1_000)
+        with _pytest.raises(ValueError, match="sketch-size"):
+            pin_small(big, max_rows=100)
+        with _pytest.raises(ValueError, match="sketch-size"):
+            pin_small(big, max_bytes=16)
+        # at/below the bounds it pins normally
+        assert pin_small(big, max_rows=1_000).count() == 1_000
+
 
 class TestRadiusJoin:
     def test_matches_brute_force(self, ray_session):
@@ -418,14 +435,63 @@ class TestRadiusJoin:
         got = knn.radius_join(ds, q, R).to_pandas()
         got_pairs = set(map(tuple, got[["query_id", "doc_id"]]
                             .itertuples(index=False)))
-        # brute force over the same extracted points
+        # brute force over the same extracted points (same quantized
+        # millimetre membership compare as knn._RadiusFilter)
         pts = ds.to_pandas()
         want = set()
         for i, qi in enumerate(qid):
-            d = haversine_m(q["lat"][i], q["lon"][i],
-                            pts["lat"].to_numpy(), pts["lon"].to_numpy())
-            for did in pts["doc_id"].to_numpy()[d <= R]:
+            dq = knn.quantize_dist_m(haversine_m(
+                q["lat"][i], q["lon"][i],
+                pts["lat"].to_numpy(), pts["lon"].to_numpy()))
+            for did in pts["doc_id"].to_numpy()[dq <= int(R * 1000)]:
                 if did != qi:
                     want.add((qi, did))
         assert got_pairs == want
         assert len(want) > 0
+        # the bucketed large-Q scale path is EXACT: identical pair set
+        got_b = knn.radius_join_bucketed(ds, q, R, cell_res=2).to_pandas()
+        got_b_pairs = set(map(tuple, got_b[["query_id", "doc_id"]]
+                              .itertuples(index=False)))
+        assert got_b_pairs == want
+
+    def test_bucket_covering_superset_extreme_latitudes(self):
+        """The query-disc covering must be a SUPERSET prefilter everywhere —
+        including high latitudes where a naive linear dlat/cos longitude
+        bound under-covers (the asin bound's cubic term grows as 1/cos^3)
+        and across the antimeridian. Pure numpy: every candidate within
+        the radius must land in a cell mapped to its query."""
+        from posm_ray import cells
+        from posm_ray.geom.kernels import haversine_m
+        from posm_ray.stages.knn import _radius_query_buckets
+
+        rng = np.random.RandomState(0)
+        R = 750_000.0
+        res = 2
+        qlat = np.array([0.0, 45.0, 75.0, 85.0, 88.0, -86.0, 60.0, -45.0])
+        qlon = np.array([0.0, 10.0, -170.0, 179.5, 100.0, -179.9, 1.0, 30.0])
+        q = {"id": np.arange(len(qlat), dtype=np.int64),
+             "lat": qlat, "lon": qlon}
+        buckets = _radius_query_buckets(q, R, res)
+        # candidates scattered around each query inside the disc
+        for i in range(len(qlat)):
+            for _ in range(200):
+                # random bearing/distance within R (slight margin inside)
+                br = rng.uniform(0, 2 * np.pi)
+                dist = rng.uniform(0, R * 0.999)
+                # spherical destination point
+                phi1, lam1 = np.radians(qlat[i]), np.radians(qlon[i])
+                delta = dist / 6371000.0
+                phi2 = np.arcsin(np.sin(phi1) * np.cos(delta)
+                                 + np.cos(phi1) * np.sin(delta) * np.cos(br))
+                lam2 = lam1 + np.arctan2(
+                    np.sin(br) * np.sin(delta) * np.cos(phi1),
+                    np.cos(delta) - np.sin(phi1) * np.sin(phi2))
+                plat = np.degrees(phi2)
+                plon = (np.degrees(lam2) + 540.0) % 360.0 - 180.0
+                if haversine_m(qlat[i], qlon[i], plat, plon) > R:
+                    continue  # spherical-destination rounding — skip edge
+                c = int(cells.cell_id(np.array([plat]), np.array([plon]),
+                                      res)[0])
+                assert c in buckets and i in buckets[c], (
+                    f"query {i} ({qlat[i]},{qlon[i]}) missing candidate "
+                    f"cell for point ({plat},{plon})")

@@ -158,9 +158,9 @@ class TestKnnSharded:
         width_deg = cells.cell_width_deg(shard_res)
         checked = 0
         for i in range(0, len(did), 5):
-            d = haversine_m(lat[i], lon[i], lat, lon)
-            d[i] = np.inf
-            order = np.lexsort((did, d))[:3]
+            dq = knn.quantize_dist_m(haversine_m(lat[i], lon[i], lat, lon))
+            dq[i] = np.iinfo(np.int64).max
+            order = np.lexsort((did, dq))[:3]
             # assumption gate: true neighbors within one shard cell (deg)
             if max(abs(lat[order] - lat[i]).max(),
                    abs(lon[order] - lon[i]).max()) < width_deg * 0.9:
