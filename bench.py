@@ -183,6 +183,12 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     timed("mixture_schedule", lambda: textops.mixture_schedule(sf_dir))
     timed("chunk_occupancy", lambda: textops.chunk_occupancy(sf_dir))
     timed("boundary_from_text", lambda: qs["boundary_from_text"](sf_dir))
+    timed("bm25_topk", lambda: textops.bm25_topk(sf_dir))
+    timed("winnow_fingerprints", lambda: textops.winnow_fingerprints(sf_dir))
+    timed("heavy_hitters", lambda: textops.heavy_hitters(sf_dir))
+    timed("url_revisits", lambda: textops.url_revisits(sf_dir))
+    timed("semantic_dedup", lambda: vectors.semantic_dedup(sf_dir))
+    timed("polygon_fill", lambda: qs["polygon_fill"](sf_dir))
     return timings, steals
 
 

@@ -2178,3 +2178,500 @@ SELECT chunk::BIGINT AS chunk, COUNT(*)::BIGINT AS n_docs,
            - GREATEST(tok_start, chunk * {budget}))::BIGINT AS n_tokens
 FROM x GROUP BY chunk
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "vector", "window")
+BM25_K = 10
+# Rational BM25 with k1 = 6/5, b = 3/4 evaluated in pure integer
+# arithmetic so both engines floor identically:
+#   r       = (1000 * dl * N) // T                   (length ratio, ~1000ths)
+#   tfpart  = (22000*tf << 20) // (10000*tf + 3000 + 9*r)
+#   idf     = ((2N + 2) << 16) // (2*df + 1)         (BM25+ style, >= 0)
+#   score   = sum over query terms of idf * tfpart
+# Overflow headroom (int64): idf <= (2N+2)<<16 / 3, tfpart < 2.2<<20, so
+# score-per-term < N * 2^39 — safe to N ~ 10^6 docs per scoring domain; at
+# larger N shrink the idf shift (both sides share the constant).
+_BM25_IDF_SHIFT = 16
+_BM25_TF_SHIFT = 20
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+              k: int = BM25_K):
+    """Top-``k`` documents by BM25 against a fixed query-term set — the
+    ranked-retrieval op a curation pipeline uses for targeted corpus
+    probes (postings/df are the same building blocks as ``postings`` /
+    ``tfidf_terms``; reference analogue: attribute-filtered ordered reads,
+    exposm SetAttributeFilter + ORDER BY).
+
+    Scale shape: pass 1 streams the corpus once and pre-reduces each block
+    to ONE stats row (doc count, token count, per-term document
+    frequencies) — the driver merges nblocks tiny rows and broadcasts
+    (N, T, df). Pass 2 scores every doc vectorized with the integer BM25
+    above, keeps a per-block top-k partial (tie-deterministic lexsort per
+    the repo float rule — the score is already an exact integer), and ONE
+    single-task merge ranks the k winners. No shuffle of doc rows at any
+    corpus size."""
+    import ray.data as rd
+
+    from .relational import _merge_small
+
+    terms = tuple(terms)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n_docs = len(texts)
+        total = 0
+        df = np.zeros(len(terms), dtype=np.int64)
+        for txt in texts:
+            toks = [w for w in (txt or "").split(" ") if w]
+            total += len(toks)
+            if toks:
+                tokset = set(toks)
+                for i, t in enumerate(terms):
+                    if t in tokset:
+                        df[i] += 1
+        cols = {"n_docs": pa.array([n_docs], pa.int64()),
+                "total_tokens": pa.array([total], pa.int64())}
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = pa.array([int(df[i])], pa.int64())
+        return pa.table(cols)
+
+    st = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_corpus = int(st["n_docs"].sum())
+    t_corpus = int(st["total_tokens"].sum())
+    df = np.array([int(st[f"df_{i}"].sum()) for i in range(len(terms))],
+                  dtype=np.int64)
+    idf = ((2 * n_corpus + 2) << _BM25_IDF_SHIFT) // (2 * df + 1)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = np.zeros(len(texts), dtype=np.int64)
+        tf = np.zeros((len(texts), len(terms)), dtype=np.int64)
+        for row, txt in enumerate(texts):
+            toks = [w for w in (txt or "").split(" ") if w]
+            dl[row] = len(toks)
+            for i, t in enumerate(terms):
+                tf[row, i] = toks.count(t)
+        r = (1000 * dl * n_corpus) // max(t_corpus, 1)
+        den = 10000 * tf + 3000 + 9 * r[:, None]
+        tfpart = ((22000 * tf) << _BM25_TF_SHIFT) // den
+        score = (tfpart * idf[None, :]).sum(axis=1)
+        keep = score > 0
+        did, score = did[keep], score[keep]
+        top = np.lexsort((did, -score))[:k]
+        return pa.table({"doc_id": pa.array(did[top], pa.int64()),
+                         "score": pa.array(score[top], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        score = t.column("score").to_numpy(zero_copy_only=False)
+        top = np.lexsort((did, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(did[top], pa.int64()),
+            "score": pa.array(score[top], pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        })
+
+    return _merge_small(
+        docs.map_batches(score_partial, batch_format="pyarrow"), final)
+
+
+def bm25_topk_sql(terms: tuple[str, ...] = BM25_TERMS,
+                  k: int = BM25_K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
+       AS t(tok)),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+tt AS (SELECT COUNT(*)::BIGINT AS t FROM toks),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+q AS (SELECT UNNEST([{tlist}]) AS term),
+df AS (
+  SELECT q.term, COUNT(DISTINCT toks.doc_id)::BIGINT AS df
+  FROM q LEFT JOIN toks ON toks.tok = q.term GROUP BY q.term),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*)::BIGINT AS tf
+  FROM toks WHERE tok IN ({tlist}) GROUP BY doc_id, tok),
+scored AS (
+  SELECT tf.doc_id,
+         SUM((((2 * n.n + 2) << {_BM25_IDF_SHIFT}) // (2 * df.df + 1))
+             * (((22000 * tf.tf) << {_BM25_TF_SHIFT})
+                // (10000 * tf.tf + 3000
+                    + 9 * ((1000 * dl.dl * n.n) // GREATEST(tt.t, 1)))))
+           ::BIGINT AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN tt
+  GROUP BY tf.doc_id)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0)
+WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style positional document fingerprints)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8    # char k-gram width (bytes; the corpus is ASCII)
+WINNOW_W = 4    # winnowing window: one pick per W consecutive gram hashes
+_WINNOW_MOD = 1 << 61        # Karp-Rabin modulus (same as rolling twin)
+_WINNOW_HBITS = 40           # hash truncated to 40 bits so that
+_WINNOW_PBITS = 21           # (h40 << 21 | pos) fits int64 exactly
+_WINNOW_PMASK = (1 << _WINNOW_PBITS) - 1
+
+
+def _winnow_grams(data: bytes) -> np.ndarray:
+    """All k-gram Karp-Rabin hashes of ``data`` (mod 2^61), vectorized:
+    h_i = sum_j data[i+j] * 257^(k-1-j) — the position-decomposable form
+    shared with ``rolling_fingerprints_sql``. Texts shorter than k hash
+    whole (right-aligned power sum, same as the rolling short path)."""
+    k = WINNOW_K
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    pows = np.array([pow(257, k - 1 - j, _WINNOW_MOD) for j in range(k)],
+                    dtype=np.int64)
+    if len(b) < k:
+        if len(b) == 0:
+            return np.array([0], dtype=np.int64)
+        h = int((b * pows[k - len(b):] % _WINNOW_MOD).sum() % _WINNOW_MOD)
+        return np.array([h], dtype=np.int64)
+    n = len(b) - k + 1
+    # windows x k gram matrix via stride view; python-int accumulate keeps
+    # the mod-2^61 sums exact (k terms of < 2^61 each would overflow int64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        acc = (acc + win[:, j] * pows[j]) % _WINNOW_MOD
+    return acc
+
+
+def winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (the MOSS scheme, public algorithm:
+    Schleimer/Wilkerson/Aiken 2003): per window of ``WINNOW_W`` consecutive
+    k-gram hashes keep the minimum (rightmost wins ties), dedup the picks —
+    a positional fingerprint set guaranteeing any shared substring of
+    length >= k + W - 1 yields a shared fingerprint. The near-dup /
+    plagiarism primitive that, unlike ``rolling_fingerprints`` (one global
+    min per doc), supports partial-overlap detection.
+
+    Doc-local and zero-shuffle: one vectorized map pass; ties and the
+    window minimum are decided on the int64 composite
+    ``(h mod 2^40) << 21 | (2^21-1-pos)`` so numpy and the SQL twin pick
+    bit-identical fingerprints (positions bounded < 2^21 chars/doc).
+    Returns DISTINCT (doc_id, pos, fp) rows, pos 1-based."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    w = WINNOW_W
+
+    def fn(b: pa.Table) -> pa.Table:
+        out_id, out_pos, out_fp = [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            pos, fp = _winnow_picks(txt or "")
+            out_id.extend([did] * len(pos))
+            out_pos.extend(pos.tolist())
+            out_fp.extend(fp.tolist())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "pos": pa.array(out_pos, pa.int64()),
+                         "fp": pa.array(out_fp, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _winnow_picks(text: str) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing selection for one text: distinct (pos, fp) picks."""
+    w = WINNOW_W
+    h = _winnow_grams(text.encode("utf-8"))
+    h40 = h & ((1 << _WINNOW_HBITS) - 1)
+    pos = np.arange(1, len(h) + 1, dtype=np.int64)
+    comp = (h40 << _WINNOW_PBITS) | (_WINNOW_PMASK - pos)
+    if len(comp) >= w:
+        picks = np.unique(
+            np.lib.stride_tricks.sliding_window_view(comp, w).min(axis=1))
+    else:
+        picks = np.array([comp.min()], dtype=np.int64)
+    return _WINNOW_PMASK - (picks & _WINNOW_PMASK), picks >> _WINNOW_PBITS
+
+
+def winnow_fingerprints_sql() -> str:
+    """DuckDB twin: the same k-gram power-sum hashes (HUGEINT-exact), the
+    same 40-bit truncation and composite, a ROWS window MIN for full
+    windows plus the global-min fallback for docs with < W grams."""
+    k, w, mod = WINNOW_K, WINNOW_W, _WINNOW_MOD
+    pows = [pow(257, k - 1 - j, mod) for j in range(k)]
+    ptable = ", ".join(f"({j}, {pows[j]}::HUGEINT)" for j in range(k))
+    hmask = (1 << _WINNOW_HBITS) - 1
+    return f"""
+WITH p AS (SELECT * FROM (VALUES {ptable}) AS t(j, pw)),
+d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+kg_long AS (
+  SELECT d.doc_id, s.i,
+         (SUM((ord(substr(d.text, s.i + p.j, 1))::HUGEINT * p.pw) % {mod}))
+           % {mod} AS h
+  FROM d, unnest(generate_series(1, d.n - {k} + 1)) AS s(i), p
+  WHERE d.n >= {k}
+  GROUP BY d.doc_id, s.i),
+kg_short AS (
+  SELECT d.doc_id, 1 AS i,
+         COALESCE((SUM((ord(substr(d.text, p.j - ({k} - d.n) + 1, 1))::HUGEINT
+                        * p.pw) % {mod})) % {mod}, 0) AS h
+  FROM d LEFT JOIN p ON p.j >= {k} - d.n
+  WHERE d.n < {k}
+  GROUP BY d.doc_id),
+kg AS (SELECT * FROM kg_long UNION ALL SELECT * FROM kg_short),
+comp AS (
+  SELECT doc_id, i,
+         ((CAST(h AS BIGINT) & {hmask}) << {_WINNOW_PBITS})
+           | ({_WINNOW_PMASK} - i) AS c
+  FROM kg),
+win AS (
+  SELECT doc_id,
+         MIN(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mc,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt
+  FROM comp),
+sel AS (
+  SELECT DISTINCT doc_id, mc FROM win WHERE cnt = {w}
+  UNION
+  SELECT doc_id, MIN(c) AS mc FROM comp
+  GROUP BY doc_id HAVING COUNT(*) < {w})
+SELECT doc_id,
+       ({_WINNOW_PMASK} - (mc & {_WINNOW_PMASK}))::BIGINT AS pos,
+       (mc >> {_WINNOW_PBITS})::BIGINT AS fp
+FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch + heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4            # sketch rows (independent hash functions)
+CMS_W = 256          # sketch columns per row
+HH_DENOM = 64        # heavy hitter = token with count >= total // HH_DENOM
+
+
+def _cms_col(d: int, token: str) -> int:
+    """Column of ``token`` in sketch row ``d``: first 8 md5 bytes of
+    'd:token' mod W — replayed in DuckDB as
+    ('0x' || substr(md5(...), 1, 16))::UBIGINT % W."""
+    import hashlib
+
+    h = hashlib.md5(f"{d}:{token}".encode("utf-8")).digest()[:8]
+    return int.from_bytes(h, "big") % CMS_W
+
+
+def countmin_registers(sf_dir: str):
+    """Count-min sketch of token occurrences over the corpus — the
+    mergeable frequency sketch (Cormode/Muthukrishnan 2005) companion to
+    the HLL distinct sketch in ``stages/tiles``. Registers sum-merge, so
+    the exchange is bounded at D x W cells regardless of corpus size: each
+    block pre-reduces to its own (d, col, cnt) histogram and a single-task
+    final sums them (``_merge_small``). Register STATE is hash-exact vs
+    the SQL twin (same md5 column hash on both sides), the same
+    driver-check pattern as ``hll_register_sketch``. Returns non-empty
+    (d, col, cnt) rows."""
+    import ray.data as rd
+
+    from .relational import _merge_small
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        reg = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        # per-block token histogram first: the md5 column hash is computed
+        # once per DISTINCT token (bounded by vocabulary), not per
+        # occurrence
+        counts: dict[str, int] = {}
+        for txt in b.column("text").to_pylist():
+            for t in (txt or "").split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+        for tok, c in counts.items():
+            for d in range(CMS_D):
+                reg[d, _cms_col(d, tok)] += c
+        d_idx, col_idx = np.nonzero(reg)
+        return pa.table({"d": pa.array(d_idx.astype(np.int64)),
+                         "col": pa.array(col_idx.astype(np.int64)),
+                         "cnt": pa.array(reg[d_idx, col_idx])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["d", "col"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["d", "col", "cnt"])
+
+    return _merge_small(docs.map_batches(partial, batch_format="pyarrow"),
+                        merge)
+
+
+def countmin_registers_sql() -> str:
+    col = ("CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), "
+           f"1, 16))::UBIGINT % {CMS_W} AS BIGINT)")
+    return f"""
+WITH toks AS (
+  SELECT tok
+  FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
+       AS t(tok)),
+cells AS (
+  SELECT d.d, {col} AS col
+  FROM toks CROSS JOIN (SELECT UNNEST(range({CMS_D})) AS d) d)
+SELECT d::BIGINT AS d, col, COUNT(*)::BIGINT AS cnt
+FROM cells GROUP BY d, col
+"""
+
+
+def heavy_hitters(sf_dir: str):
+    """Heavy hitters: tokens whose occurrence count >= total_tokens //
+    HH_DENOM, found CMS-first — pass 1 builds the count-min registers and
+    the total (bounded merges); pass 2 probes each block's DISTINCT tokens
+    against the broadcast sketch (estimate = min over rows, an upper
+    bound, so no true heavy hitter is pruned) and only CMS survivors enter
+    the ONE exact-count exchange. At web scale the sketch prunes the tail
+    vocabulary (the overwhelming majority) from the shuffle; the output is
+    EXACT — (token, n) with the final filter on the true count — so the
+    SQL twin is the plain GROUP BY/HAVING."""
+    import ray
+
+    import ray.data as rd
+
+    from ..util import hash_rollup
+    from .relational import _merge_small
+
+    regs_t = countmin_registers(sf_dir).to_pandas()
+    reg = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    reg[regs_t["d"].to_numpy(), regs_t["col"].to_numpy()] = \
+        regs_t["cnt"].to_numpy()
+    total = int(regs_t.loc[regs_t["d"] == 0, "cnt"].sum())
+    threshold = max(total // HH_DENOM, 1)
+    ref = ray.put(reg)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def candidates(b: pa.Table) -> pa.Table:
+        r = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        counts: dict[str, int] = {}
+        for txt in b.column("text").to_pylist():
+            for t in (txt or "").split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+        toks, ns = [], []
+        for tok, c in counts.items():
+            est = min(r[d, _cms_col(d, tok)] for d in range(CMS_D))
+            if est >= threshold:
+                toks.append(tok)
+                ns.append(c)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    exact = hash_rollup(docs.map_batches(candidates, batch_format="pyarrow"),
+                        ["token"], merge, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"], pa.scalar(threshold)))
+
+    return _merge_small(exact, final)
+
+
+def heavy_hitters_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT tok
+  FROM documents, UNNEST(list_filter(str_split(text, ' '), x -> x <> ''))
+       AS t(tok)),
+tot AS (SELECT COUNT(*)::BIGINT AS t FROM toks)
+SELECT tok AS token, COUNT(*)::BIGINT AS n
+FROM toks CROSS JOIN tot
+GROUP BY tok, tot.t
+HAVING COUNT(*) >= GREATEST(tot.t // {HH_DENOM}, 1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL revisit collapse (CDX-style crawl dedup by fetch recency)
+# ---------------------------------------------------------------------------
+
+REVISIT_MOD = 7       # doc_id % 7 == 0 -> url fetched twice
+REVISIT_MOD2 = 21     # doc_id % 21 == 0 -> fetched three times
+REVISIT_STEP_US = 3_600_000_000  # 1h between fetches
+
+
+def url_revisits(sf_dir: str):
+    """CDX-style revisit collapse: the crawl index pattern of keeping, per
+    url, the LATEST fetch plus the fetch count. Revisit fetches are
+    synthesized deterministically in-stream (docs with doc_id % 7 == 0
+    refetch at +1h; % 21 == 0 again at +2h) from ONE read — the same
+    single-read in-batch explode as ``noisy_documents``. One hash exchange
+    on url over per-block (max ts, count) partials — both merge-
+    associative, so blocks pre-reduce and the exchange ships one row per
+    (url, block)."""
+    import ray.data as rd
+
+    from ..sources import synth
+    from ..util import hash_rollup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ts0 = synth.derive_warc_ts(did)
+        parts = [(did, ts0)]
+        m2 = did % REVISIT_MOD == 0
+        parts.append((did[m2], ts0[m2] + np.timedelta64(REVISIT_STEP_US, "us")))
+        m3 = did % REVISIT_MOD2 == 0
+        parts.append((did[m3],
+                      ts0[m3] + np.timedelta64(2 * REVISIT_STEP_US, "us")))
+        alld = np.concatenate([p[0] for p in parts])
+        allt = np.concatenate([p[1] for p in parts])
+        urls = synth.derive_url(alld)
+        t = pa.table({"url": pa.array(urls, pa.string()),
+                      "ts": pa.array(allt),
+                      "n": pa.array(np.ones(len(alld), dtype=np.int64))})
+        g = pa.TableGroupBy(t, ["url"]).aggregate(
+            [("ts", "max"), ("n", "sum")])
+        return g.rename_columns(["url", "latest_ts", "n_fetches"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["url"]).aggregate(
+            [("latest_ts", "max"), ("n_fetches", "sum")])
+        return g.rename_columns(["url", "latest_ts", "n_fetches"])
+
+    return hash_rollup(docs.map_batches(explode, batch_format="pyarrow"),
+                       ["url"], merge, batch_format="pyarrow")
+
+
+def url_revisits_sql() -> str:
+    from ..sources import synth
+
+    return f"""
+WITH fetches AS (
+  SELECT {synth.url_sql()} AS url, {synth.warc_ts_sql()} AS ts
+  FROM documents
+  UNION ALL
+  SELECT {synth.url_sql()} AS url,
+         {synth.warc_ts_sql()} + INTERVAL 1 HOUR AS ts
+  FROM documents WHERE doc_id % {REVISIT_MOD} = 0
+  UNION ALL
+  SELECT {synth.url_sql()} AS url,
+         {synth.warc_ts_sql()} + INTERVAL 2 HOUR AS ts
+  FROM documents WHERE doc_id % {REVISIT_MOD2} = 0)
+SELECT url, MAX(ts) AS latest_ts, COUNT(*)::BIGINT AS n_fetches
+FROM fetches GROUP BY url
+"""

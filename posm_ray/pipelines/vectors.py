@@ -431,26 +431,29 @@ def _trunc_div(s: np.ndarray, n: int) -> np.ndarray:
     return np.sign(s) * (np.abs(s) // np.int64(n))
 
 
-def _int_embeddings(sf_dir: str):
-    """embeddings -> (vec_id, v:list<int64>) with v = floor(x * 2^20):
+def _quantize_batch(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) -> (vec_id, v:list<int64>), v = floor(x*2^20):
     the float32->int64 quantization is exact and order-independent, so
     every later sum/compare is bit-identical between numpy and DuckDB."""
+    emb = list_to_matrix(batch.column("embedding"), np.float64)
+    v = np.floor(emb * KMEANS_SCALE).astype(np.int64)
+    n, w = v.shape
+    offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
+    return pa.table({
+        "vec_id": batch["vec_id"],
+        "v": pa.ListArray.from_arrays(offsets, pa.array(v.ravel())),
+    })
+
+
+def _int_quantize(ds):
+    return ds.map_batches(_quantize_batch, batch_format="pyarrow")
+
+
+def _int_embeddings(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-
-    def fn(batch: pa.Table) -> pa.Table:
-        emb = list_to_matrix(batch.column("embedding"), np.float64)
-        v = np.floor(emb * KMEANS_SCALE).astype(np.int64)
-        n, w = v.shape
-        offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
-        return pa.table({
-            "vec_id": batch["vec_id"],
-            "v": pa.ListArray.from_arrays(offsets, pa.array(v.ravel())),
-        })
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return _int_quantize(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                         columns=["vec_id", "embedding"]))
 
 
 def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
@@ -474,9 +477,34 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
     Returns (vec_id, cluster) after ``iters`` iterations."""
     import ray
 
-    from ..util import hash_rollup
-
     ints = _int_embeddings(sf_dir)
+    centroids = _lloyd_centroids(ints, k, iters)
+    ref = ray.put(centroids)
+
+    def final(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(_kmeans_assign(
+                list_to_matrix(batch.column("v"), np.int64), cents)),
+        })
+
+    return ints.map_batches(final, batch_format="pyarrow")
+
+
+def _kmeans_assign(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(N, K) integer squared distances; argmin ties -> lowest cluster."""
+    d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def _lloyd_centroids(ints, k: int, iters: int) -> np.ndarray:
+    """The distributed Lloyd loop over an (vec_id, v:list<int64>) Dataset;
+    returns the k x D int64 centroid matrix after ``iters`` iterations
+    (see kmeans_embeddings for the per-iteration scale shape)."""
+    import ray
+
+    from ..util import hash_rollup
 
     # deterministic init: the k lowest-vec_id vectors, in vec_id order.
     # Streaming min-k (per-block head-k partials, k x nblocks driver rows)
@@ -491,19 +519,13 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
         .sort_values("vec_id").head(k)
     centroids = np.stack([np.asarray(x, dtype=np.int64) for x in first["v"]])
 
-    def assign(batch: pa.Table, cents: np.ndarray) -> np.ndarray:
-        v = list_to_matrix(batch.column("v"), np.int64)
-        # (N, K) integer squared distances; argmin ties -> lowest cluster
-        d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        return np.argmin(d, axis=1).astype(np.int64)
-
     for _ in range(iters):
         ref = ray.put(centroids)
 
         def partial(batch: pa.Table) -> pa.Table:
             cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
             v = list_to_matrix(batch.column("v"), np.int64)
-            a = assign(batch, cents)
+            a = _kmeans_assign(v, cents)
             rows_c, rows_n, rows_s = [], [], []
             for c in np.unique(a):
                 m = a == c
@@ -541,22 +563,13 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
                 np.asarray(row["s"], dtype=np.int64), int(row["n"]))
         centroids = new
 
-    ref = ray.put(centroids)
-
-    def final(batch: pa.Table) -> pa.Table:
-        cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-        return pa.table({
-            "vec_id": batch["vec_id"],
-            "cluster": pa.array(assign(batch, cents)),
-        })
-
-    return ints.map_batches(final, batch_format="pyarrow")
+    return centroids
 
 
-def kmeans_embeddings_sql(k: int = KMEANS_K,
-                          iters: int = KMEANS_ITERS) -> str:
-    """Unrolled-CTE twin of kmeans_embeddings: identical quantization,
-    integer distances, tie-break, truncating-division centroid update."""
+def _kmeans_ctes(source: str, k: int, iters: int) -> list[str]:
+    """The unrolled Lloyd CTE chain (quantize -> c0 init -> iters x
+    assign/update -> ``af`` final assignment) over table/CTE ``source`` —
+    shared by the kmeans twin and the semantic-dedup twin."""
     dist = ("list_sum(list_transform(list_zip(e.v, c.v), "
             "p -> (p[1]-p[2])*(p[1]-p[2])))")
     parts = [f"""e AS (
@@ -564,7 +577,7 @@ def kmeans_embeddings_sql(k: int = KMEANS_K,
          list_transform(embedding,
              x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0) AS BIGINT))
              AS v
-  FROM embeddings),
+  FROM {source}),
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v
   FROM e ORDER BY vec_id LIMIT {k})"""]
@@ -596,5 +609,106 @@ c{t + 1} AS (
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {dist}, c.cluster) AS rn
     FROM e CROSS JOIN c{iters} c) WHERE rn = 1)""")
-    return ("WITH " + ",\n".join(parts)
+    return parts
+
+
+def kmeans_embeddings_sql(k: int = KMEANS_K,
+                          iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE twin of kmeans_embeddings: identical quantization,
+    integer distances, tie-break, truncating-division centroid update."""
+    return ("WITH " + ",\n".join(_kmeans_ctes("embeddings", k, iters))
             + "\nSELECT vec_id, cluster FROM af")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (cluster-then-dedup, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = KMEANS_K
+SEMDEDUP_ITERS = 2
+
+
+def semantic_dedup(sf_dir: str, threshold: float = DUP_COS_THRESHOLD,
+                   k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS):
+    """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023, public):
+    k-means-cluster the (noisy) embedding corpus, then WITHIN each cluster
+    greedily drop every vector that has a lower-id neighbor at cosine >=
+    ``threshold`` — one representative per near-dup group survives, and
+    the pairwise pass never crosses cluster boundaries.
+
+    Scale shape: the Lloyd loop is the shared distributed kernel
+    (`_lloyd_centroids` — one pre-reduced exchange per iteration); the
+    final pass carries (vec_id, cluster, embedding) into ONE hash exchange
+    on cluster, and each partition resolves its whole clusters with a
+    vectorized normalized-gram matrix. The within-cluster pass is
+    O(m^2/k·n) like the published algorithm — at corpus scale k grows with
+    n (keeping m = n/k bounded), exactly the reason SemDeDup clusters
+    before comparing; a mass-duplicate cluster bounds at one partition's
+    rows and would take the simhash-style cap if fixtures ever needed it.
+
+    Returns (vec_id, cluster, kept 0/1). Decision-stable across
+    numpy-float64 vs DuckDB ``list_cosine_similarity``: injected dups
+    are >= ~0.97, natural pairs <= ~0.51 (embedding_dups margin note)."""
+    import ray
+
+    from ..util import hash_rollup
+
+    noisy = noisy_embeddings(sf_dir)
+    centroids = _lloyd_centroids(_int_quantize(noisy), k, iters)
+    ref = ray.put(centroids)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
+        v = np.floor(emb * KMEANS_SCALE).astype(np.int64)
+        return batch.append_column(
+            "cluster", pa.array(_kmeans_assign(v, cents)))
+
+    tagged = noisy.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        emb = list_to_matrix(t.column("embedding"), np.float64)
+        order = np.lexsort((vid, cl))
+        vid, cl, emb = vid[order], cl[order], emb[order]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        kept = np.ones(len(vid), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        for s, e in zip(starts, np.r_[starts[1:], len(cl)]):
+            if e - s < 2:
+                continue
+            m = emb[s:e]
+            g = m @ m.T  # rows already in vec_id order within the cluster
+            dup = np.tril(g >= threshold, k=-1).any(axis=1)
+            kept[s:e][dup] = 0
+        return pa.table({"vec_id": pa.array(vid, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "kept": pa.array(kept, pa.int64())})
+
+    return hash_rollup(tagged, ["cluster"], dedup_part,
+                       batch_format="pyarrow")
+
+
+def semantic_dedup_sql(threshold: float = DUP_COS_THRESHOLD,
+                       k: int = SEMDEDUP_K,
+                       iters: int = SEMDEDUP_ITERS) -> str:
+    """Twin: the same unrolled Lloyd CTEs over the noisy corpus, then the
+    greedy keep as a NOT-EXISTS lower-id near-neighbor predicate."""
+    ctes = _kmeans_ctes("noisy", k, iters)
+    return f"""
+WITH noisy AS ({NOISY_EMBEDDINGS_SQL}),
+{",".join(ctes)}
+SELECT a.vec_id, a.cluster,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM af b
+         JOIN noisy x ON x.vec_id = a.vec_id
+         JOIN noisy y ON y.vec_id = b.vec_id
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(x.embedding, y.embedding)
+               >= {threshold})
+       THEN 0 ELSE 1 END::BIGINT AS kept
+FROM af a
+"""

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources import synth
 
@@ -339,3 +340,108 @@ def tile_pyramid(join_rows, *, finest_col: str = "cell_r9",
             ["cell"], merge, batch_format="pyarrow"))
         out = out.union(level.map_batches(stamp(res), batch_format="pyarrow"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# polygon rasterization (vector -> raster fill)
+# ---------------------------------------------------------------------------
+
+POLYFILL_RES = 4
+
+
+def polygon_fill(boundaries: pa.Table, *, res: int = POLYFILL_RES,
+                 adminlevel: int | None = 2):
+    """Vector->raster rasterization: every grid cell at ``res`` whose
+    CENTER lies inside the polygon — the inverse of
+    :func:`raster_to_vector`, completing the raster<->vector pair
+    (reference analogue: the ST_SnapToGrid 'raster move',
+    POSMmanagement/process.py:85-102, generalized from point snapping to
+    polygon interior fill).
+
+    Scale shape: polygons fan out over tasks (``repartition`` of the
+    boundary rows); each task rasterizes its polygons independently —
+    candidate cells from the bbox covering, centers tested with the real
+    ray-crossing PIP kernel, output streamed per polygon. No shuffle; a
+    continent-sized polygon at fine ``res`` is bounded by its covering
+    size and would be split by covering chunks before the PIP test (the
+    per-polygon analogue of the simhash tile).
+
+    Returns (osm_id, cell) rows. The center coordinates are computed as
+    ``(ix + 0.5) / ncols * 360 - 180`` with the identical op order in the
+    SQL twin; the clean-boundary fixture's rectangle edges never coincide
+    with a cell center (audited by tests/test_tiles.py), so the strict
+    inequality decides identically on both sides."""
+    import ray.data as rd
+
+    from .. import cells as cellmod
+    from ..geom import kernels, wkb
+    from ..util import default_npartitions
+
+    bt = boundaries
+    if adminlevel is not None:
+        bt = bt.filter(pc.equal(bt["adminlevel"], pa.scalar(adminlevel)))
+    ds = rd.from_arrow(bt.select(["osm_id", "geom_wkb"])) \
+        .repartition(default_npartitions())
+
+    nx, ny = cellmod.ncols(res), cellmod.nrows(res)
+
+    def fill(b: pa.Table) -> pa.Table:
+        out_id, out_cell = [], []
+        for osm_id, geom in zip(b.column("osm_id").to_pylist(),
+                                b.column("geom_wkb").to_pylist()):
+            rings = wkb.wkb_to_rings(geom)
+            cand = cellmod.covering(*kernels.rings_bbox(rings), res)
+            ix, iy = cellmod.cell_ixy(cand)
+            cx = (ix + 0.5) / nx * 360.0 - 180.0
+            cy = (iy + 0.5) / ny * 180.0 - 90.0
+            inside = kernels.points_in_rings(cx, cy, rings)
+            out_id.extend([osm_id] * int(inside.sum()))
+            out_cell.append(cand[inside])
+        cellcol = (np.concatenate(out_cell) if out_cell
+                   else np.array([], dtype=np.int64))
+        return pa.table({"osm_id": pa.array(out_id, pa.string()),
+                         "cell": pa.array(cellcol, pa.int64())})
+
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def polygon_fill_sql(res: int = POLYFILL_RES, adminlevel: int = 2) -> str:
+    """DuckDB twin: same bbox covering (floor + clamp), same center
+    expression, strict center-in-rectangle filter (== the PIP kernel's
+    decision on the rectangle fixture), same packed cell id."""
+    from ..sources import boundaries as bsrc
+
+    nx, ny = 1 << (res + 7), 1 << (res + 6)
+
+    def _clamp(expr: str, hi: int) -> str:
+        return f"LEAST(GREATEST(CAST(FLOOR({expr}) AS BIGINT), 0), {hi})"
+
+    ix0 = _clamp(f"(minx + 180.0) / 360.0 * {nx}", nx - 1)
+    ix1 = _clamp(f"(maxx + 180.0) / 360.0 * {nx}", nx - 1)
+    iy0 = _clamp(f"(miny + 90.0) / 180.0 * {ny}", ny - 1)
+    iy1 = _clamp(f"(maxy + 90.0) / 180.0 * {ny}", ny - 1)
+    # bare decimal literals parse as DECIMAL and overflow in the covering
+    # arithmetic (same footgun as gadm_values_sql) -> cast once to DOUBLE
+    return f"""
+WITH b AS (SELECT osm_id, CAST(minx AS DOUBLE) AS minx,
+                  CAST(miny AS DOUBLE) AS miny,
+                  CAST(maxx AS DOUBLE) AS maxx,
+                  CAST(maxy AS DOUBLE) AS maxy
+           FROM (VALUES {bsrc.boundaries_values_sql(adminlevel)})
+           AS t(osm_id, parent_id, minx, miny, maxx, maxy)),
+cand AS (
+  SELECT osm_id, minx, miny, maxx, maxy, gx.ix, gy.iy
+  FROM b,
+       unnest(generate_series({ix0}, {ix1})) AS gx(ix),
+       unnest(generate_series({iy0}, {iy1})) AS gy(iy)),
+ctr AS (
+  SELECT osm_id, ix, iy,
+         (CAST(ix AS DOUBLE) + 0.5) / {nx} * 360.0 - 180.0 AS cx,
+         (CAST(iy AS DOUBLE) + 0.5) / {ny} * 180.0 - 90.0 AS cy,
+         minx, miny, maxx, maxy
+  FROM cand)
+SELECT osm_id,
+       (CAST({res} AS BIGINT) << 48) | (ix << 24) | iy AS cell
+FROM ctr
+WHERE cx > minx AND cx < maxx AND cy > miny AND cy < maxy
+"""

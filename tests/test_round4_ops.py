@@ -1,0 +1,218 @@
+"""Round-4 operators: BM25 retrieval, winnowing fingerprints, count-min
+sketch + heavy hitters, URL revisit collapse, semantic dedup, polygon fill.
+
+Each op is oracle-compared at sf0.001 (same row/value semantics as the
+driver) plus property tests pinning the algorithmic guarantees the oracle
+can't express (winnowing's shared-substring guarantee, CMS over-estimate
+bound, SemDeDup keep-first semantics, cell-center/edge separation)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _cmp(got_df, sql, keys):
+    want = _con().execute(sql).df()
+    assert len(got_df) == len(want)
+    g = got_df.sort_values(keys).reset_index(drop=True)
+    w = want.sort_values(keys).reset_index(drop=True)
+    for c in g.columns:
+        assert c in w.columns
+        if g[c].dtype.kind in "if":
+            assert np.allclose(g[c].to_numpy(), w[c].to_numpy(),
+                               rtol=0, atol=0), c
+        else:
+            assert (g[c].astype(str) == w[c].astype(str)).all(), c
+
+
+class TestBM25:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.bm25_topk(SF).to_pandas()
+        _cmp(got, textops.bm25_topk_sql(), ["rank"])
+
+    def test_rank_order_and_overflow_headroom(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.bm25_topk(SF).to_pandas().sort_values("rank")
+        s = got["score"].to_numpy()
+        assert (s > 0).all() and (np.diff(s) <= 0).all()
+        # int64 headroom: documented safe to N ~ 1e6 docs
+        assert int(s.max()) < 1 << 62
+
+
+class TestWinnowing:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.winnow_fingerprints(SF).to_pandas()
+        _cmp(got, textops.winnow_fingerprints_sql(), ["doc_id", "pos"])
+
+    def test_shared_substring_guarantee(self):
+        """Any shared substring of length >= k + w - 1 yields a shared
+        fingerprint VALUE (the winnowing correctness theorem)."""
+        from posm_ray.pipelines.textops import (WINNOW_K, WINNOW_W,
+                                                _winnow_picks)
+
+        shared = "x" * 0 + "the quick brown fox jumps over it"
+        assert len(shared) >= WINNOW_K + WINNOW_W - 1
+        a = f"AAAA {shared} BBBB"
+        b = f"zzzzzzzz {shared}"
+        _, fa = _winnow_picks(a)
+        _, fb = _winnow_picks(b)
+        assert set(fa.tolist()) & set(fb.tolist())
+
+    def test_short_doc_paths(self):
+        from posm_ray.pipelines.textops import WINNOW_K, _winnow_picks
+
+        # shorter than one k-gram: single whole-text hash at pos 1
+        pos, fp = _winnow_picks("abc")
+        assert len(pos) == 1 and pos[0] == 1
+        # >= k but fewer than w grams: single global-min pick
+        pos2, fp2 = _winnow_picks("a" * (WINNOW_K + 1))
+        assert len(pos2) == 1
+
+    def test_position_decode_roundtrip(self):
+        from posm_ray.pipelines.textops import _winnow_grams, _winnow_picks
+
+        text = "the quick brown fox jumps over the lazy dog " * 3
+        pos, fp = _winnow_picks(text)
+        grams = _winnow_grams(text.encode()) & ((1 << 40) - 1)
+        for p, f in zip(pos, fp):
+            assert grams[p - 1] == f  # fp really is the hash at pos
+
+
+class TestCountMin:
+    def test_registers_match_oracle(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.countmin_registers(SF).to_pandas()
+        _cmp(got, textops.countmin_registers_sql(), ["d", "col"])
+
+    def test_estimate_upper_bounds_truth(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        regs = textops.countmin_registers(SF).to_pandas()
+        reg = np.zeros((textops.CMS_D, textops.CMS_W), dtype=np.int64)
+        reg[regs["d"], regs["col"]] = regs["cnt"]
+        truth = _con().execute("""
+            SELECT tok, COUNT(*) n FROM (SELECT unnest(list_filter(
+              str_split(text,' '), x->x<>'')) AS tok FROM documents)
+            GROUP BY tok""").df()
+        for tok, n in truth.itertuples(index=False):
+            est = min(reg[d, textops._cms_col(d, tok)]
+                      for d in range(textops.CMS_D))
+            assert est >= n
+
+    def test_heavy_hitters_exact(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.heavy_hitters(SF).to_pandas()
+        _cmp(got, textops.heavy_hitters_sql(), ["token"])
+        assert len(got) > 0
+
+
+class TestUrlRevisits:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.url_revisits(SF).to_pandas()
+        _cmp(got, textops.url_revisits_sql(), ["url"])
+
+    def test_fetch_counts(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.url_revisits(SF).to_pandas()
+        n = got.set_index("url")["n_fetches"]
+        assert n["https://example-0.test/page/0"] == 3   # 0 % 21 == 0
+        assert n["https://example-7.test/page/7"] == 2   # 7 % 7, not % 21
+        assert n["https://example-1.test/page/1"] == 1
+
+
+class TestSemanticDedup:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import vectors
+
+        got = vectors.semantic_dedup(SF).to_pandas()
+        _cmp(got, vectors.semantic_dedup_sql(), ["vec_id"])
+
+    def test_keep_first_semantics(self, ray_session):
+        """Exact injected copies (vec_id + 1M) quantize to the same cluster
+        as their base and must be dropped; the base (lower id) survives
+        unless it has an even-lower near neighbor."""
+        from posm_ray.pipelines import vectors
+
+        got = vectors.semantic_dedup(SF).to_pandas().set_index("vec_id")
+        base = [v for v in got.index if v < 1_000_000
+                and v % vectors.DUP_EXACT_MOD == 0]
+        assert base
+        for v in base:
+            copy = v + 1_000_000
+            assert got.loc[copy, "cluster"] == got.loc[v, "cluster"]
+            assert got.loc[copy, "kept"] == 0
+        # every cluster's minimum vec_id is always kept
+        first = got.reset_index().sort_values("vec_id") \
+            .groupby("cluster").first()
+        assert (first["kept"] == 1).all()
+
+
+class TestPolygonFill:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.stages import tiles
+        from posm_ray.sources import boundaries as bsrc
+
+        got = tiles.polygon_fill(bsrc.clean_boundaries()).to_pandas()
+        _cmp(got, tiles.polygon_fill_sql(), ["osm_id", "cell"])
+
+    def test_center_edge_separation(self):
+        """Strictness audit (the polygon-fill analogue of the knn quantum
+        audit): no cell center at POLYFILL_RES coincides with any fixture
+        rectangle edge, so the strict PIP decision can never be
+        float-fragile between numpy and DuckDB."""
+        from posm_ray import cells
+        from posm_ray.sources import boundaries as bsrc
+        from posm_ray.stages.tiles import POLYFILL_RES
+
+        res = POLYFILL_RES
+        nx, ny = cells.ncols(res), cells.nrows(res)
+        cx = (np.arange(nx, dtype=np.int64) + 0.5) / nx * 360.0 - 180.0
+        cy = (np.arange(ny, dtype=np.int64) + 0.5) / ny * 180.0 - 90.0
+        for r in bsrc.iter_clean():
+            minx, miny, maxx, maxy = r["bbox"]
+            for edge in (minx, maxx):
+                assert np.abs(cx - edge).min() > 1e-9
+            for edge in (miny, maxy):
+                assert np.abs(cy - edge).min() > 1e-9
+
+    def test_brute_force_one_county(self, ray_session):
+        from posm_ray import cells
+        from posm_ray.sources import boundaries as bsrc
+        from posm_ray.stages import tiles
+
+        got = tiles.polygon_fill(bsrc.clean_boundaries()).to_pandas()
+        county = [r for r in bsrc.iter_clean() if r["adminlevel"] == 2][0]
+        minx, miny, maxx, maxy = county["bbox"]
+        res = tiles.POLYFILL_RES
+        nx, ny = cells.ncols(res), cells.nrows(res)
+        ix = np.arange(nx, dtype=np.int64)
+        iy = np.arange(ny, dtype=np.int64)
+        cx = (ix + 0.5) / nx * 360.0 - 180.0
+        cy = (iy + 0.5) / ny * 180.0 - 90.0
+        gx = ix[(cx > minx) & (cx < maxx)]
+        gy = iy[(cy > miny) & (cy < maxy)]
+        mx, my = np.meshgrid(gx, gy, indexing="ij")
+        want = set(cells.pack(res, mx.ravel(), my.ravel()).tolist())
+        have = set(got.loc[got["osm_id"] == county["osm_id"], "cell"]
+                   .tolist())
+        assert have == want and len(want) > 100
