@@ -229,22 +229,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_revisits": textops.url_revisits,
         "semantic_dedup": vectors.semantic_dedup,
         "polygon_fill": _q_polygon_fill,
+        "host_components": _q_host_components,
+        "priority_sample": relational.priority_sample,
         # -- (1) last driver row in round 2 ---------------------------------
-        # (seven r2-green entries whose kernel/twin family has an in-window
+        # (nine r2-green entries whose kernel/twin family has an in-window
         #  representative are demoted to group (3) to fit the ~50-row
         #  window: noisy_documents, quality_quartiles, lang_quality,
-        #  fingerprints, media_frames, media_embed, ancestry — re-verified
-        #  locally via jobs/check_oracles.py and scheduled to LEAD round 5)
+        #  fingerprints, media_frames, media_embed, ancestry, top_tokens,
+        #  quality_scores — re-verified locally via jobs/check_oracles.py
+        #  and scheduled to LEAD round 5)
         "cell_assign": _q_cell_assign,
         "snap_to_grid": _q_snap_to_grid,
         "token_counts": textops.token_counts,
         "pii_redact": textops.pii_redact,
         "repetition_stats": textops.repetition_stats,
-        "quality_scores": textops.quality_scores,
         "quality_filter": textops.quality_filter,
         "decontaminate": textops.decontaminate,
         "tfidf_terms": textops.tfidf_terms,
-        "top_tokens": textops.top_tokens,
         "postings": textops.postings,
         "percentile_gate": textops.percentile_gate,
         "host_quota": textops.host_quota,
@@ -290,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
         "ancestry": _q_ancestry,
+        "top_tokens": textops.top_tokens,
+        "quality_scores": textops.quality_scores,
         "drill_down": _q_drill_down,
         "sliding_window": _q_sliding_window,
         "stratified_sample": relational.stratified_sample,
@@ -441,6 +444,55 @@ def _pagerank_hosts_sql() -> str:
     from posm_ray.stages import graph as graph_stage
 
     return graph_stage.pagerank_sql(_pr_edges_sql())
+
+
+_CC_BRIDGE_MOD = 97
+
+
+def _cc_edges_sql() -> str:
+    hub = "(doc_id % 100) - ((doc_id % 100) % 10)"
+    return (f"SELECT doc_id % 100 AS a, {hub} AS b FROM documents "
+            f"UNION ALL SELECT {hub} AS a, ({hub} + 20) % 100 AS b "
+            f"FROM documents WHERE doc_id % {_CC_BRIDGE_MOD} = 0")
+
+
+def _q_host_components(sf_dir: str):
+    """Connected components of the host graph — every host links to its
+    decade hub (star edges) plus sparse hub-to-hub bridges (docs with
+    doc_id % 97 == 0), the deterministic stand-in for cross-site link
+    communities. Min-label propagation to fixpoint (one hash exchange per
+    round, stages/graph.connected_components); the recursive-CTE twin
+    computes the same unique fixpoint labeling directly."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from posm_ray.stages import graph as graph_stage
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = did % 100
+        hub = src - (src % 10)
+        m = did % _CC_BRIDGE_MOD == 0
+        t = pa.table({
+            "a": pa.array(np.concatenate([src, hub[m]]), pa.int64()),
+            "b": pa.array(np.concatenate([hub, (hub[m] + 20) % 100]),
+                          pa.int64()),
+        })
+        return pa.TableGroupBy(t, ["a", "b"]).aggregate([])
+
+    pairs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    return graph_stage.connected_components(pairs)
+
+
+def _host_components_sql() -> str:
+    from posm_ray.stages import graph as graph_stage
+
+    return graph_stage.connected_components_sql(_cc_edges_sql())
 
 
 def _cell_majority_label_sql() -> str:
@@ -1678,6 +1730,8 @@ def oracle_sql() -> dict[str, str]:
         "url_revisits": textops.url_revisits_sql(),
         "semantic_dedup": vectors.semantic_dedup_sql(),
         "polygon_fill": _polygon_fill_sql(),
+        "host_components": _host_components_sql(),
+        "priority_sample": relational.priority_sample_sql(),
         # Intentionally omitted (rows-only checks): poly_export (DuckDB's
         # printf('%.6E') rounds half-boundary mantissas differently from C
         # printf — byte parity impossible in SQL; golden pytest instead),

@@ -189,6 +189,8 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     timed("url_revisits", lambda: textops.url_revisits(sf_dir))
     timed("semantic_dedup", lambda: vectors.semantic_dedup(sf_dir))
     timed("polygon_fill", lambda: qs["polygon_fill"](sf_dir))
+    timed("host_components", lambda: qs["host_components"](sf_dir))
+    timed("priority_sample", lambda: relational.priority_sample(sf_dir))
     return timings, steals
 
 

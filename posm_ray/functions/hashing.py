@@ -136,3 +136,19 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 input (the same mixing
+    pipeline tiles._hll_partial inlines; exported for the sampling /
+    sketch stages whose DuckDB twins replay it via 32-bit-split wrapping
+    multiplies — textops._mulw_sql)."""
+    v = np.asarray(x, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        v *= np.uint64(0x9E3779B97F4A7C15)
+        v ^= v >> np.uint64(30)
+        v *= np.uint64(MIX_C1)
+        v ^= v >> np.uint64(27)
+        v *= np.uint64(MIX_C2)
+        v ^= v >> np.uint64(31)
+    return v

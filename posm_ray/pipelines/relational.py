@@ -441,3 +441,78 @@ SELECT lang, doc_id, rank FROM (
   FROM documents)
 WHERE rank <= {n_per_lang}
 """
+
+
+PRIORITY_SAMPLE_K = 100
+
+
+def priority_sample(sf_dir: str, k: int = PRIORITY_SAMPLE_K):
+    """Weighted sampling without replacement — the libm-free integer
+    analogue of Efraimidis-Spirakis priority sampling: priority =
+    splitmix64(doc_id) // weight (weight = n_chars), keep the k SMALLEST
+    priorities. A doc with twice the weight halves its priority range, so
+    heavier docs win proportionally more often, while the order is pure
+    integer arithmetic (the textbook u^(1/w) keys need pow/log — exactly
+    the libm fragility the repo's float rule bans from oracles).
+
+    Scale shape: per-block top-k partial (tie-deterministic lexsort on
+    (priority, doc_id)), ONE single-task merge — identical to the bm25 /
+    top_customers final; no shuffle of corpus rows."""
+    import ray.data as rd
+
+    from ..functions.hashing import splitmix64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        w = b.column("n_chars").to_numpy(zero_copy_only=False)
+        pr = (splitmix64(did.astype(np.uint64)) >> np.uint64(1)) \
+            .astype(np.int64) // np.maximum(w, 1)
+        top = np.lexsort((did, pr))[:k]
+        return pa.table({"doc_id": pa.array(did[top], pa.int64()),
+                         "weight": pa.array(w[top], pa.int64()),
+                         "priority": pa.array(pr[top], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        pr = t.column("priority").to_numpy(zero_copy_only=False)
+        top = np.lexsort((did, pr))[:k]
+        return pa.table({
+            "doc_id": pa.array(did[top], pa.int64()),
+            "weight": pa.array(w[top], pa.int64()),
+            "priority": pa.array(pr[top], pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        })
+
+    return _merge_small(ds.map_batches(partial, batch_format="pyarrow"),
+                        final)
+
+
+def priority_sample_sql(k: int = PRIORITY_SAMPLE_K) -> str:
+    from ..functions import hashing
+    from .textops import _mulw_sql
+
+    c0 = 0x9E3779B97F4A7C15
+    return f"""
+WITH v0 AS (
+  SELECT doc_id, n_chars,
+         {_mulw_sql('doc_id::UBIGINT', c0)} AS v
+  FROM documents),
+v1 AS (SELECT doc_id, n_chars, xor(v, v >> 30) AS v FROM v0),
+v2 AS (SELECT doc_id, n_chars, {_mulw_sql('v', hashing.MIX_C1)} AS v FROM v1),
+v3 AS (SELECT doc_id, n_chars, xor(v, v >> 27) AS v FROM v2),
+v4 AS (SELECT doc_id, n_chars, {_mulw_sql('v', hashing.MIX_C2)} AS v FROM v3),
+v5 AS (SELECT doc_id, n_chars, xor(v, v >> 31) AS v FROM v4),
+pr AS (
+  SELECT doc_id, n_chars AS weight,
+         ((v >> 1)::BIGINT) // GREATEST(n_chars, 1) AS priority
+  FROM v5)
+SELECT doc_id, weight, priority, rank FROM (
+  SELECT doc_id, weight, priority,
+         ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rank
+  FROM pr)
+WHERE rank <= {k}
+"""

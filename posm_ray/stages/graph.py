@@ -172,3 +172,75 @@ def pagerank_sql(edges_sql: str, *, n_iter: int = PAGERANK_ITERS) -> str:
     GROUP BY e.dst) f USING (node))""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, r FROM pr{n_iter}")
+
+
+def connected_components(pairs, *, max_rounds: int = 50,
+                         npartitions: int | None = None):
+    """Distributed connected components over an undirected (a, b) edge
+    Dataset: (node, component) for EVERY node, component = the minimum
+    node id reachable. The min-label propagation kernel is shared with
+    the near-dup clustering (stages/dedup.near_dup_clusters_distributed
+    — one hash exchange per round, label-sum fixpoint test); that kernel
+    emits only non-representative members, so the representatives
+    re-attach here via one tagged-union co-partition against the distinct
+    node set (comp(rep) = rep)."""
+    import pandas as pd
+
+    from ..util import hash_rollup
+    from .dedup import near_dup_clusters_distributed
+
+    members = near_dup_clusters_distributed(
+        pairs, max_rounds=max_rounds, npartitions=npartitions)
+
+    def node_halves(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        t = pa.table({"node": pa.array(np.concatenate([a, bb]), pa.int64())})
+        return pa.TableGroupBy(t, ["node"]).aggregate([])
+
+    def mem_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["doc_id"], "comp": b["cluster_rep"],
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    def node_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"], "comp": pa.nulls(b.num_rows, pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    nodes = hash_rollup(pairs.map_batches(node_halves,
+                                          batch_format="pyarrow"),
+                        ["node"], lambda t: pa.TableGroupBy(
+                            t, ["node"]).aggregate([]),
+                        npartitions=npartitions, batch_format="pyarrow")
+
+    tagged = members.map_batches(mem_side, batch_format="pyarrow").union(
+        nodes.map_batches(node_side, batch_format="pyarrow"))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = g.loc[g["side"] == 1].set_index("node")["comp"]
+        n = g.loc[g["side"] == 0, "node"]
+        comp = n.map(cmap).fillna(n).astype(np.int64)
+        return pd.DataFrame({"node": n.to_numpy(dtype=np.int64),
+                             "component": comp.to_numpy()})
+
+    return hash_rollup(tagged, ["node"], resolve, npartitions=npartitions)
+
+
+def connected_components_sql(edges_sql: str) -> str:
+    """DuckDB twin: recursive min-label reachability (the fixpoint of the
+    Ray kernel's propagation is the unique component labeling, so the
+    round-by-round replay is unnecessary — unlike pagerank, which compares
+    a FIXED iteration count). ``edges_sql`` yields (a, b)."""
+    return f"""
+WITH RECURSIVE e0 AS ({edges_sql}),
+edges AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT x FROM edges),
+reach(x, lab) AS (
+    SELECT x, x FROM nodes
+    UNION
+    SELECT e.y, r.lab FROM reach r JOIN edges e ON e.x = r.x)
+SELECT x AS node, MIN(lab)::BIGINT AS component FROM reach GROUP BY x
+"""

@@ -216,3 +216,48 @@ class TestPolygonFill:
         have = set(got.loc[got["osm_id"] == county["osm_id"], "cell"]
                    .tolist())
         assert have == want and len(want) > 100
+
+
+class TestHostComponents:
+    def test_matches_oracle(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e.queries()["host_components"](SF).to_pandas()
+        _cmp(got, e.oracle_sql()["host_components"], ["node"])
+
+    def test_star_and_bridge_structure(self, ray_session):
+        """Decade members share their hub's component; bridged decades
+        merge; unbridged decades stay apart."""
+        import __ray_entry__ as e
+
+        got = e.queries()["host_components"](SF).to_pandas() \
+            .set_index("node")["component"]
+        # every node's label is <= itself (min-reachable id)
+        assert (got.values <= got.index.to_numpy()).all()
+        # same decade -> same component (star edges)
+        for hub in set((n // 10) * 10 for n in got.index):
+            members = [n for n in got.index if (n // 10) * 10 == hub]
+            assert len(set(got[m] for m in members)) == 1
+        # doc 0 exists at every sf -> bridge hub 0 <-> hub 20
+        if 20 in got.index:
+            assert got[20] == got[0] == 0
+
+
+class TestPrioritySample:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import relational
+
+        got = relational.priority_sample(SF).to_pandas()
+        _cmp(got, relational.priority_sample_sql(), ["rank"])
+
+    def test_priority_formula_and_order(self, ray_session):
+        from posm_ray.functions.hashing import splitmix64
+        from posm_ray.pipelines import relational
+
+        got = relational.priority_sample(SF).to_pandas().sort_values("rank")
+        did = got["doc_id"].to_numpy()
+        w = got["weight"].to_numpy()
+        pr = (splitmix64(did.astype(np.uint64)) >> np.uint64(1)) \
+            .astype(np.int64) // np.maximum(w, 1)
+        assert (pr == got["priority"].to_numpy()).all()
+        assert (np.diff(got["priority"].to_numpy()) >= 0).all()
