@@ -308,8 +308,42 @@ def verify_jaccard_pairs_distributed(pairs_ds, docs_ds, *,
                        npartitions=npartitions)
 
 
+SINGLE_TASK_EDGE_ROWS = 200_000
+
+
+def _propagate_single_task(table_refs: list) -> "pa.Table":
+    """Whole-fixpoint label propagation in ONE task: vectorized
+    min-over-edges (np.minimum.at) + pointer doubling per round —
+    O(log diameter) numpy passes, no per-round Ray executions. Input is
+    the undirected (x, y) edge block refs (nested ObjectRefs are not
+    auto-resolved, so the task gets them); output (x, label) for every
+    node. Runs as a Ray task, not on the driver."""
+    import ray
+
+    # zero-row blocks may carry a degenerate schema — drop before concat
+    tables = [t for t in ray.get(list(table_refs)) if t.num_rows]
+    merged = pa.concat_tables(tables) if tables else pa.table(
+        {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+    x = merged.column("x").to_numpy(zero_copy_only=False)
+    y = merged.column("y").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([x, y]), return_inverse=True)
+    xi, yi = inv[:len(x)], inv[len(x):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, xi, lab[yi])   # neighbor min (both directions
+        np.minimum.at(lab, yi, lab[xi])   # — edges arrive bidirected)
+        lab = lab[lab]                    # pointer doubling
+        if np.array_equal(old, lab):
+            break
+    # node ids are sorted ascending, so the min INDEX is the min id
+    return pa.table({"x": pa.array(nodes, pa.int64()),
+                     "label": pa.array(nodes[lab], pa.int64())})
+
+
 def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
-                                  npartitions: int | None = None):
+                                  npartitions: int | None = None,
+                                  emit_all: bool = False):
     """Distributed connected components over verified pairs: iterative
     min-label propagation (label(x) ← min(label(x), min label of x's
     neighbors)) to a fixpoint. Labels only ever decrease, so the global
@@ -317,9 +351,25 @@ def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
     test is one tiny aggregate per round, no driver set.
 
     Returns a Dataset (doc_id, cluster_rep) for every non-representative
-    member — exactly the driver union-find's output (pytest-pinned equal).
-    Rounds needed = component diameter (near-dup chains are short); the
-    per-round cost is ONE hash exchange over (node, label) pairs."""
+    member (every node when ``emit_all``) — exactly the driver
+    union-find's output (pytest-pinned equal). Rounds needed =
+    log(component diameter) with the pointer-doubling shortcut; the
+    per-round cost is three hash exchanges over (node, label) pairs.
+
+    SMALL-GRAPH FAST PATH: the edge list is pin_small'd (the function's
+    existing bounded-input contract — verified near-dup pairs are
+    sketch-size by construction), so when it is tiny
+    (≤ SINGLE_TASK_EDGE_ROWS) the whole fixpoint resolves in ONE Ray task
+    (vectorized numpy propagation) instead of paying ~4 fixed-cost Ray
+    executions per round — measured 49 s → ~4 s on the 100-node host
+    graph at 32 CPUs. The distributed loop remains the path for larger
+    graphs (and is the shape that scales past the pin bound once the pin
+    is swapped for a plain materialize); the fixpoint is unique, so both
+    paths return identical labels."""
+    import ray
+
+    import ray.data as rd
+
     from ..util import hash_rollup, pin_small
 
     def und_edges(b: pa.Table) -> pa.Table:
@@ -331,6 +381,19 @@ def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
         })
 
     edges = pin_small(pairs_ds.map_batches(und_edges, batch_format="pyarrow"))
+
+    def members(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(x), bool) if emit_all else lab != x
+        return pa.table({"doc_id": pa.array(x[keep], pa.int64()),
+                         "cluster_rep": pa.array(lab[keep], pa.int64())})
+
+    if edges.count() <= SINGLE_TASK_EDGE_ROWS:
+        refs = edges.to_arrow_refs()
+        task = ray.remote(num_cpus=1)(_propagate_single_task)
+        labels = rd.from_arrow_refs([task.remote(refs)])
+        return labels.map_batches(members, batch_format="pyarrow")
 
     # labels: start at min neighbor (one propagation step for free)
     def init_label(g: pd.DataFrame) -> pd.DataFrame:
@@ -404,13 +467,6 @@ def near_dup_clusters_distributed(pairs_ds, *, max_rounds: int = 50,
         if cur == prev_sum:
             break
         prev_sum = cur
-
-    def members(b: pa.Table) -> pa.Table:
-        x = b.column("x").to_numpy(zero_copy_only=False)
-        lab = b.column("label").to_numpy(zero_copy_only=False)
-        keep = lab != x
-        return pa.table({"doc_id": pa.array(x[keep], pa.int64()),
-                         "cluster_rep": pa.array(lab[keep], pa.int64())})
 
     return labels.map_batches(members, batch_format="pyarrow")
 

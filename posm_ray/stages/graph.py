@@ -179,54 +179,20 @@ def connected_components(pairs, *, max_rounds: int = 50,
     """Distributed connected components over an undirected (a, b) edge
     Dataset: (node, component) for EVERY node, component = the minimum
     node id reachable. The min-label propagation kernel is shared with
-    the near-dup clustering (stages/dedup.near_dup_clusters_distributed
-    — one hash exchange per round, label-sum fixpoint test); that kernel
-    emits only non-representative members, so the representatives
-    re-attach here via one tagged-union co-partition against the distinct
-    node set (comp(rep) = rep)."""
-    import pandas as pd
-
-    from ..util import hash_rollup
+    the near-dup clustering (stages/dedup.near_dup_clusters_distributed,
+    ``emit_all`` — small graphs resolve in one vectorized Ray task, large
+    ones in the per-round exchange loop); every propagated node carries a
+    label at the fixpoint, so no re-attach pass is needed."""
     from .dedup import near_dup_clusters_distributed
 
-    members = near_dup_clusters_distributed(
-        pairs, max_rounds=max_rounds, npartitions=npartitions)
+    labels = near_dup_clusters_distributed(
+        pairs, max_rounds=max_rounds, npartitions=npartitions,
+        emit_all=True)
 
-    def node_halves(b: pa.Table) -> pa.Table:
-        a = b.column("a").to_numpy(zero_copy_only=False)
-        bb = b.column("b").to_numpy(zero_copy_only=False)
-        t = pa.table({"node": pa.array(np.concatenate([a, bb]), pa.int64())})
-        return pa.TableGroupBy(t, ["node"]).aggregate([])
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["doc_id"], "component": b["cluster_rep"]})
 
-    def mem_side(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": b["doc_id"], "comp": b["cluster_rep"],
-            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-        })
-
-    def node_side(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": b["node"], "comp": pa.nulls(b.num_rows, pa.int64()),
-            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-        })
-
-    nodes = hash_rollup(pairs.map_batches(node_halves,
-                                          batch_format="pyarrow"),
-                        ["node"], lambda t: pa.TableGroupBy(
-                            t, ["node"]).aggregate([]),
-                        npartitions=npartitions, batch_format="pyarrow")
-
-    tagged = members.map_batches(mem_side, batch_format="pyarrow").union(
-        nodes.map_batches(node_side, batch_format="pyarrow"))
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        cmap = g.loc[g["side"] == 1].set_index("node")["comp"]
-        n = g.loc[g["side"] == 0, "node"]
-        comp = n.map(cmap).fillna(n).astype(np.int64)
-        return pd.DataFrame({"node": n.to_numpy(dtype=np.int64),
-                             "component": comp.to_numpy()})
-
-    return hash_rollup(tagged, ["node"], resolve, npartitions=npartitions)
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 def connected_components_sql(edges_sql: str) -> str:

@@ -261,3 +261,25 @@ class TestPrioritySample:
             .astype(np.int64) // np.maximum(w, 1)
         assert (pr == got["priority"].to_numpy()).all()
         assert (np.diff(got["priority"].to_numpy()) >= 0).all()
+
+
+class TestPropagationPaths:
+    def test_single_task_equals_exchange_loop(self, ray_session, monkeypatch):
+        """The small-graph single-task fast path and the per-round exchange
+        loop must produce identical fixpoint labelings (the fixpoint is
+        unique), including representatives under emit_all."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from posm_ray.stages import dedup, graph
+
+        pairs = pa.table({"a": pa.array([1, 2, 5, 10, 11], pa.int64()),
+                          "b": pa.array([2, 3, 6, 11, 12], pa.int64())})
+        fast = graph.connected_components(rd.from_arrow(pairs)) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        monkeypatch.setattr(dedup, "SINGLE_TASK_EDGE_ROWS", 0)
+        loop = graph.connected_components(rd.from_arrow(pairs)) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        assert fast.equals(loop)
+        assert dict(zip(fast["node"], fast["component"])) == {
+            1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
