@@ -501,10 +501,16 @@ def _kmeans_assign(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
 def _lloyd_centroids(ints, k: int, iters: int) -> np.ndarray:
     """The distributed Lloyd loop over an (vec_id, v:list<int64>) Dataset;
     returns the k x D int64 centroid matrix after ``iters`` iterations
-    (see kmeans_embeddings for the per-iteration scale shape)."""
+    (see kmeans_embeddings for the per-iteration scale shape). The
+    per-iteration exchange is capped at k partitions — its key cardinality
+    is exactly k, so wider exchanges only add aggregator-pool spin-up
+    (measured ~2.8 s at 16 partitions vs ~1.5 s at 8 for the same k-row
+    merge); this is a key-cardinality bound, not a cluster-size cap."""
     import ray
 
-    from ..util import hash_rollup
+    from ..util import default_npartitions, hash_rollup
+
+    nparts = max(2, min(k, default_npartitions()))
 
     # deterministic init: the k lowest-vec_id vectors, in vec_id order.
     # Streaming min-k (per-block head-k partials, k x nblocks driver rows)
@@ -555,7 +561,7 @@ def _lloyd_centroids(ints, k: int, iters: int) -> np.ndarray:
             })
 
         agg = hash_rollup(ints.map_batches(partial, batch_format="pyarrow"),
-                          ["cluster"], merge,
+                          ["cluster"], merge, npartitions=nparts,
                           batch_format="pyarrow").to_pandas()
         new = centroids.copy()  # empty cluster keeps its old centroid
         for _, row in agg.iterrows():
