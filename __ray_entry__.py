@@ -145,6 +145,24 @@ FROM c
 """
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Per-admin-polygon document statistics over the PIP join rows
+    (stages.tiles.zonal_stats — classic zonal statistics)."""
+    from posm_ray.stages import tiles as tiles_stage
+
+    return tiles_stage.zonal_stats(flagship.join_rows(sf_dir))
+
+
+def _zonal_stats_sql() -> str:
+    return f"""
+WITH joined AS ({_join_rows_sql()})
+SELECT level2_id AS zone, COUNT(*)::BIGINT AS n_docs,
+       SUM(length(text))::BIGINT AS sum_chars
+FROM joined WHERE level2_id IS NOT NULL
+GROUP BY level2_id
+"""
+
+
 def _q_polygon_fill(sf_dir: str):
     """Vector->raster polygon rasterization of the county fixtures
     (stages.tiles.polygon_fill; the boundary fixture is sf-independent —
@@ -231,18 +249,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_fill": _q_polygon_fill,
         "host_components": _q_host_components,
         "priority_sample": relational.priority_sample,
+        "winnow_dups": textops.winnow_dups,
+        "zonal_stats": _q_zonal_stats,
         # -- (1) last driver row in round 2 ---------------------------------
-        # (nine r2-green entries whose kernel/twin family has an in-window
-        #  representative are demoted to group (3) to fit the ~50-row
-        #  window: noisy_documents, quality_quartiles, lang_quality,
-        #  fingerprints, media_frames, media_embed, ancestry, top_tokens,
-        #  quality_scores — re-verified locally via jobs/check_oracles.py
-        #  and scheduled to LEAD round 5)
+        # (eleven r2-green entries whose kernel/twin family has an
+        #  in-window representative are demoted to group (3) to fit the
+        #  ~50-row window: noisy_documents, quality_quartiles,
+        #  lang_quality, fingerprints, media_frames, media_embed,
+        #  ancestry, top_tokens, quality_scores, pii_redact,
+        #  repetition_stats — re-verified locally via
+        #  jobs/check_oracles.py and scheduled to LEAD round 5)
         "cell_assign": _q_cell_assign,
         "snap_to_grid": _q_snap_to_grid,
         "token_counts": textops.token_counts,
-        "pii_redact": textops.pii_redact,
-        "repetition_stats": textops.repetition_stats,
         "quality_filter": textops.quality_filter,
         "decontaminate": textops.decontaminate,
         "tfidf_terms": textops.tfidf_terms,
@@ -293,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ancestry": _q_ancestry,
         "top_tokens": textops.top_tokens,
         "quality_scores": textops.quality_scores,
+        "pii_redact": textops.pii_redact,
+        "repetition_stats": textops.repetition_stats,
         "drill_down": _q_drill_down,
         "sliding_window": _q_sliding_window,
         "stratified_sample": relational.stratified_sample,
@@ -1732,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
         "polygon_fill": _polygon_fill_sql(),
         "host_components": _host_components_sql(),
         "priority_sample": relational.priority_sample_sql(),
+        "winnow_dups": textops.winnow_dups_sql(),
+        "zonal_stats": _zonal_stats_sql(),
         # Intentionally omitted (rows-only checks): poly_export (DuckDB's
         # printf('%.6E') rounds half-boundary mantissas differently from C
         # printf — byte parity impossible in SQL; golden pytest instead),

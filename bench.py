@@ -191,6 +191,8 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     timed("polygon_fill", lambda: qs["polygon_fill"](sf_dir))
     timed("host_components", lambda: qs["host_components"](sf_dir))
     timed("priority_sample", lambda: relational.priority_sample(sf_dir))
+    timed("winnow_dups", lambda: textops.winnow_dups(sf_dir))
+    timed("zonal_stats", lambda: qs["zonal_stats"](sf_dir))
     return timings, steals
 
 

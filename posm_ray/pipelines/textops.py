@@ -2333,12 +2333,11 @@ _WINNOW_PBITS = 21           # (h40 << 21 | pos) fits int64 exactly
 _WINNOW_PMASK = (1 << _WINNOW_PBITS) - 1
 
 
-def _winnow_grams(data: bytes) -> np.ndarray:
+def _winnow_grams(data: bytes, k: int = WINNOW_K) -> np.ndarray:
     """All k-gram Karp-Rabin hashes of ``data`` (mod 2^61), vectorized:
     h_i = sum_j data[i+j] * 257^(k-1-j) — the position-decomposable form
     shared with ``rolling_fingerprints_sql``. Texts shorter than k hash
     whole (right-aligned power sum, same as the rolling short path)."""
-    k = WINNOW_K
     b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
     pows = np.array([pow(257, k - 1 - j, _WINNOW_MOD) for j in range(k)],
                     dtype=np.int64)
@@ -2392,10 +2391,10 @@ def winnow_fingerprints(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _winnow_picks(text: str) -> tuple[np.ndarray, np.ndarray]:
+def _winnow_picks(text: str, k: int = WINNOW_K,
+                  w: int = WINNOW_W) -> tuple[np.ndarray, np.ndarray]:
     """Winnowing selection for one text: distinct (pos, fp) picks."""
-    w = WINNOW_W
-    h = _winnow_grams(text.encode("utf-8"))
+    h = _winnow_grams(text.encode("utf-8"), k)
     h40 = h & ((1 << _WINNOW_HBITS) - 1)
     pos = np.arange(1, len(h) + 1, dtype=np.int64)
     comp = (h40 << _WINNOW_PBITS) | (_WINNOW_PMASK - pos)
@@ -2407,17 +2406,17 @@ def _winnow_picks(text: str) -> tuple[np.ndarray, np.ndarray]:
     return _WINNOW_PMASK - (picks & _WINNOW_PMASK), picks >> _WINNOW_PBITS
 
 
-def winnow_fingerprints_sql() -> str:
-    """DuckDB twin: the same k-gram power-sum hashes (HUGEINT-exact), the
-    same 40-bit truncation and composite, a ROWS window MIN for full
-    windows plus the global-min fallback for docs with < W grams."""
-    k, w, mod = WINNOW_K, WINNOW_W, _WINNOW_MOD
+def _winnow_sel_ctes(source: str, k: int = WINNOW_K,
+                     w: int = WINNOW_W) -> str:
+    """The winnowing CTE chain (power table -> k-gram hashes -> composites
+    -> window mins -> distinct picks ``sel(doc_id, mc)``) over table/CTE
+    ``source`` — shared by the fingerprint twin and the winnow-dup twin."""
+    mod = _WINNOW_MOD
     pows = [pow(257, k - 1 - j, mod) for j in range(k)]
     ptable = ", ".join(f"({j}, {pows[j]}::HUGEINT)" for j in range(k))
     hmask = (1 << _WINNOW_HBITS) - 1
-    return f"""
-WITH p AS (SELECT * FROM (VALUES {ptable}) AS t(j, pw)),
-d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    return f"""p AS (SELECT * FROM (VALUES {ptable}) AS t(j, pw)),
+d AS (SELECT doc_id, text, length(text) AS n FROM {source}),
 kg_long AS (
   SELECT d.doc_id, s.i,
          (SUM((ord(substr(d.text, s.i + p.j, 1))::HUGEINT * p.pw) % {mod}))
@@ -2449,11 +2448,129 @@ sel AS (
   SELECT DISTINCT doc_id, mc FROM win WHERE cnt = {w}
   UNION
   SELECT doc_id, MIN(c) AS mc FROM comp
-  GROUP BY doc_id HAVING COUNT(*) < {w})
+  GROUP BY doc_id HAVING COUNT(*) < {w})"""
+
+
+def winnow_fingerprints_sql() -> str:
+    """DuckDB twin: the same k-gram power-sum hashes (HUGEINT-exact), the
+    same 40-bit truncation and composite, a ROWS window MIN for full
+    windows plus the global-min fallback for docs with < W grams."""
+    return f"""
+WITH {_winnow_sel_ctes('documents')}
 SELECT doc_id,
        ({_WINNOW_PMASK} - (mc & {_WINNOW_PMASK}))::BIGINT AS pos,
        (mc >> {_WINNOW_PBITS})::BIGINT AS fp
 FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing near-dup pairs (rare shared fingerprints)
+# ---------------------------------------------------------------------------
+
+# df <= 6 because a doc divisible by BOTH dup mods carries base + exact +
+# near copies (3 docs sharing most fingerprints) before any true
+# cross-doc repetition — 4 missed doc 0's pair; C(6,2) pair fan-out per
+# bucket is still O(1)
+WINNOW_DUP_MAX_DF = 6
+WINNOW_DUP_MIN_SHARED = 3  # report pairs sharing >= 3 rare fingerprints
+# Pairing uses LONGER grams than the per-doc fingerprints: 8-char grams
+# over this corpus's 31-token vocabulary collide corpus-wide (winnowing
+# biases picks toward globally-low hash values, so popular gram VALUES
+# dominate every doc's picks and fail the rare-df gate — measured 59/72
+# exact-copy pairs found at k=8). 24 chars ≈ 4 tokens is distinctive.
+WINNOW_DUP_K = 24
+
+
+def winnow_dups(sf_dir: str, *, max_df: int = WINNOW_DUP_MAX_DF,
+                min_shared: int = WINNOW_DUP_MIN_SHARED):
+    """Substring-overlap near-dup pairs over the noisy corpus via shared
+    winnowing fingerprints — the MOSS pairing step on top of
+    :func:`winnow_fingerprints`. Only RARE fingerprints (document
+    frequency 2..``max_df``) generate candidate pairs: a popular phrase's
+    fingerprint carries no dedup signal and would blow the bucket up —
+    the idf-style bound keeps every bucket's pair fan-out at
+    C(max_df, 2) = O(1) rows, the same degenerate-bucket concern the
+    minhash/simhash caps address, solved here by exclusion rather than
+    capping (and mirrored exactly in the SQL twin's HAVING bound).
+
+    Scale shape: one map pass emits per-doc DISTINCT fingerprints; ONE
+    exchange on fp forms bucket pairs vectorized (per segment size s,
+    each (i, j) combination is one array op — no per-bucket python); a
+    second exchange on the pair key counts shared fingerprints and gates
+    at ``min_shared``. Returns (a, b, n_shared)."""
+    from ..util import hash_rollup
+
+    docs = noisy_documents(sf_dir)
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        out_id, out_fp = [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            _, fp = _winnow_picks(txt or "", k=WINNOW_DUP_K)
+            u = np.unique(fp)
+            out_id.extend([did] * len(u))
+            out_fp.extend(u.tolist())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "fp": pa.array(out_fp, pa.int64())})
+
+    rows = docs.map_batches(fp_rows, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        fp = t.column("fp").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, fp))
+        fp, did = fp[order], did[order]
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]]) \
+            if len(fp) else np.array([], dtype=np.int64)
+        sizes = np.diff(np.r_[starts, len(fp)]) if len(fp) else starts
+        out_a, out_b = [], []
+        for s in range(2, max_df + 1):
+            segs = starts[sizes == s]
+            for i in range(s):
+                for j in range(i + 1, s):
+                    out_a.append(did[segs + i])  # did ascending in-segment
+                    out_b.append(did[segs + j])
+        if out_a:
+            a = np.concatenate(out_a)
+            bb = np.concatenate(out_b)
+        else:
+            a = bb = np.array([], dtype=np.int64)
+        pt = pa.table({"a": pa.array(a, pa.int64()),
+                       "b": pa.array(bb, pa.int64()),
+                       "n_shared": pa.array(
+                           np.ones(len(a), dtype=np.int64))})
+        g = pa.TableGroupBy(pt, ["a", "b"]).aggregate([("n_shared", "sum")])
+        return g.rename_columns(["a", "b", "n_shared"])
+
+    pairs = hash_rollup(rows, ["fp"], bucket_pairs, batch_format="pyarrow")
+
+    def count_shared(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["a", "b"]).aggregate([("n_shared", "sum")])
+        g = g.rename_columns(["a", "b", "n_shared"])
+        return g.filter(pc.greater_equal(g["n_shared"],
+                                         pa.scalar(min_shared)))
+
+    return hash_rollup(pairs, ["a", "b"], count_shared,
+                       batch_format="pyarrow")
+
+
+def winnow_dups_sql(max_df: int = WINNOW_DUP_MAX_DF,
+                    min_shared: int = WINNOW_DUP_MIN_SHARED) -> str:
+    return f"""
+WITH noisy AS ({NOISY_DOCUMENTS_SQL}),
+{_winnow_sel_ctes('noisy', k=WINNOW_DUP_K)},
+fps AS (SELECT DISTINCT doc_id, (mc >> {_WINNOW_PBITS})::BIGINT AS fp
+        FROM sel),
+rare AS (SELECT fp FROM fps GROUP BY fp
+         HAVING COUNT(*) BETWEEN 2 AND {max_df})
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*)::BIGINT AS n_shared
+FROM fps x
+JOIN rare USING (fp)
+JOIN fps y USING (fp)
+WHERE x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING COUNT(*) >= {min_shared}
 """
 
 

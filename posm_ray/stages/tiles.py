@@ -445,3 +445,40 @@ SELECT osm_id,
 FROM ctr
 WHERE cx > minx AND cx < maxx AND cy > miny AND cy < maxy
 """
+
+
+def zonal_stats(join_rows, *, zone_col: str = "level2_id"):
+    """Zonal statistics — the classic raster/vector geo op: per admin
+    polygon (``zone_col`` from the PIP join), document count and total
+    extracted-text characters. The per-zone aggregate a coverage
+    dashboard reads after geocoding (reference analogue: posm's
+    per-admin-area feature counting, proc_functions.sql duration/count
+    log rows, generalized to document statistics).
+
+    Scale shape: rows with no zone (docs outside every polygon) drop at
+    the map side; blocks pre-reduce to one (zone, count, chars) row per
+    zone via Arrow group-by, ONE hash exchange on zone merges the
+    partials. ``length(text)`` is unicode characters on both sides
+    (pc.utf8_length vs SQL length)."""
+    from ..util import hash_rollup
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[zone_col])
+        b = b.filter(mask)
+        t = pa.table({
+            "zone": b[zone_col],
+            "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sum_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        })
+        g = pa.TableGroupBy(t, ["zone"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return g.rename_columns(["zone", "n_docs", "sum_chars"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["zone"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return g.rename_columns(["zone", "n_docs", "sum_chars"])
+
+    return hash_rollup(join_rows.map_batches(partial,
+                                             batch_format="pyarrow"),
+                       ["zone"], merge, batch_format="pyarrow")

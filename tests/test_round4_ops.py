@@ -283,3 +283,43 @@ class TestPropagationPaths:
         assert fast.equals(loop)
         assert dict(zip(fast["node"], fast["component"])) == {
             1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+
+
+class TestWinnowDups:
+    def test_matches_oracle(self, ray_session):
+        from posm_ray.pipelines import textops
+
+        got = textops.winnow_dups(SF).to_pandas()
+        _cmp(got, textops.winnow_dups_sql(), ["a", "b"])
+        assert len(got) > 0
+
+    def test_exact_copies_pair(self, ray_session):
+        """Injected exact copies share every fingerprint; the rare ones
+        (df <= max_df) must push the pair over min_shared."""
+        from posm_ray.pipelines import textops
+
+        got = textops.winnow_dups(SF).to_pandas()
+        pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        vid = _con().execute(
+            f"SELECT doc_id FROM documents WHERE doc_id % "
+            f"{textops.EXACT_DUP_MOD} = 0").df()["doc_id"]
+        found = sum((int(v), int(v) + 1_000_000) in pairs for v in vid)
+        assert found == len(vid)
+
+
+class TestZonalStats:
+    def test_matches_oracle(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e.queries()["zonal_stats"](SF).to_pandas()
+        _cmp(got, e.oracle_sql()["zonal_stats"], ["zone"])
+
+    def test_counts_cover_county_docs(self, ray_session):
+        import __ray_entry__ as e
+        from posm_ray.pipelines import flagship
+
+        got = e.queries()["zonal_stats"](SF).to_pandas()
+        jr = flagship.join_rows(SF).to_pandas()
+        want = int(jr["level2_id"].notna().sum())
+        assert int(got["n_docs"].sum()) == want > 0
+        assert (got["sum_chars"] > 0).all()
