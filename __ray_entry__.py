@@ -145,6 +145,71 @@ FROM c
 """
 
 
+_RECT_JOIN_MOD = 13  # NOT a multiple of 5 — mod-5 ids all geocode to the mega point
+_RECT_HALF = 2.0
+
+
+def _q_rect_join(sf_dir: str):
+    """Distributed bbox spatial join (stages.pip_join.bbox_join): 4-degree
+    query boxes around every 13th document's coordinate x the county
+    rectangles, co-partitioned by covering cell with report-once duplicate
+    suppression. Both comparison sides derive their doubles identically
+    (synth lat/lon bit-exact, then the same -0.5/+0.5), so the strict
+    interval test decides identically — no quantization needed (unlike
+    RANK comparisons, equal doubles compare equal on both engines)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from posm_ray.stages import pip_join as pj
+
+    def qrects(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = did % _RECT_JOIN_MOD == 0
+        did = did[keep]
+        lat, lon = synth.derive_lat(did), synth.derive_lon(did)
+        return pa.table({
+            "qid": pa.array(did, pa.int64()),
+            "qminx": pa.array(lon - _RECT_HALF),
+            "qminy": pa.array(lat - _RECT_HALF),
+            "qmaxx": pa.array(lon + _RECT_HALF),
+            "qmaxy": pa.array(lat + _RECT_HALF),
+        })
+
+    queries_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]) \
+        .map_batches(qrects, batch_format="pyarrow")
+    counties = [r for r in bsrc.iter_clean() if r["adminlevel"] == 2]
+    rect_t = pa.table({
+        "osm_id": pa.array([r["osm_id"] for r in counties], pa.string()),
+        "minx": pa.array([r["bbox"][0] for r in counties], pa.float64()),
+        "miny": pa.array([r["bbox"][1] for r in counties], pa.float64()),
+        "maxx": pa.array([r["bbox"][2] for r in counties], pa.float64()),
+        "maxy": pa.array([r["bbox"][3] for r in counties], pa.float64()),
+    })
+    return pj.bbox_join(queries_ds, rect_t)
+
+
+def _rect_join_sql() -> str:
+    h = _RECT_HALF
+    return f"""
+WITH q AS (
+  SELECT doc_id, {synth.lat_sql()} AS lat, {synth.lon_sql()} AS lon
+  FROM documents WHERE doc_id % {_RECT_JOIN_MOD} = 0),
+b AS (SELECT osm_id, CAST(minx AS DOUBLE) AS minx,
+             CAST(miny AS DOUBLE) AS miny, CAST(maxx AS DOUBLE) AS maxx,
+             CAST(maxy AS DOUBLE) AS maxy
+      FROM (VALUES {bsrc.boundaries_values_sql(2)})
+      AS t(osm_id, parent_id, minx, miny, maxx, maxy))
+SELECT q.doc_id, b.osm_id
+FROM q, b
+WHERE (q.lon - {h}) < b.maxx AND (q.lon + {h}) > b.minx
+  AND (q.lat - {h}) < b.maxy AND (q.lat + {h}) > b.miny
+"""
+
+
 def _q_zonal_stats(sf_dir: str):
     """Per-admin-polygon document statistics over the PIP join rows
     (stages.tiles.zonal_stats — classic zonal statistics)."""
@@ -251,20 +316,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": relational.priority_sample,
         "winnow_dups": textops.winnow_dups,
         "zonal_stats": _q_zonal_stats,
+        "rect_join": _q_rect_join,
         # -- (1) last driver row in round 2 ---------------------------------
-        # (eleven r2-green entries whose kernel/twin family has an
+        # (twelve r2-green entries whose kernel/twin family has an
         #  in-window representative are demoted to group (3) to fit the
         #  ~50-row window: noisy_documents, quality_quartiles,
         #  lang_quality, fingerprints, media_frames, media_embed,
         #  ancestry, top_tokens, quality_scores, pii_redact,
-        #  repetition_stats — re-verified locally via
-        #  jobs/check_oracles.py and scheduled to LEAD round 5)
+        #  repetition_stats, tfidf_terms (bm25 kin) — re-verified locally
+        #  via jobs/check_oracles.py and scheduled to LEAD round 5)
         "cell_assign": _q_cell_assign,
         "snap_to_grid": _q_snap_to_grid,
         "token_counts": textops.token_counts,
         "quality_filter": textops.quality_filter,
         "decontaminate": textops.decontaminate,
-        "tfidf_terms": textops.tfidf_terms,
         "postings": textops.postings,
         "percentile_gate": textops.percentile_gate,
         "host_quota": textops.host_quota,
@@ -314,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "pii_redact": textops.pii_redact,
         "repetition_stats": textops.repetition_stats,
+        "tfidf_terms": textops.tfidf_terms,
         "drill_down": _q_drill_down,
         "sliding_window": _q_sliding_window,
         "stratified_sample": relational.stratified_sample,
@@ -1755,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": relational.priority_sample_sql(),
         "winnow_dups": textops.winnow_dups_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        "rect_join": _rect_join_sql(),
         # Intentionally omitted (rows-only checks): poly_export (DuckDB's
         # printf('%.6E') rounds half-boundary mantissas differently from C
         # printf — byte parity impossible in SQL; golden pytest instead),

@@ -131,3 +131,146 @@ def pip_joined(extracted, boundaries: pa.Table, *, concurrency=None,
 
         kwargs["concurrency"] = default_pool()
     return extracted.map_batches(PIPJoin, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# bbox spatial join (rect x rect) via covering-cell co-partition
+# ---------------------------------------------------------------------------
+
+BBOX_JOIN_RES = 4
+
+
+def bbox_join(queries, rects: pa.Table, *, res: int = BBOX_JOIN_RES,
+              npartitions: int | None = None):
+    """Distributed rectangle-intersection join: streaming query boxes
+    (qid, qminx, qminy, qmaxx, qmaxy) x a rectangle table
+    (osm_id, minx, miny, maxx, maxy) — the polygon-x-polygon join
+    primitive (candidate generation by shared covering cell) that PIP
+    handles for points. NEITHER side broadcasts: both explode to their
+    bbox covering at ``res`` and co-partition on cell (one tagged-union
+    exchange); each partition joins its cells vectorized and tests strict
+    interval overlap.
+
+    Duplicate suppression is the REPORT-ONCE trick (classic grid spatial
+    join): a pair sharing many cells is emitted only in the
+    lexicographically-lowest cell of its intersection bbox's covering —
+    computable locally from the two boxes, so no dedup exchange is
+    needed. Exact output: (qid, osm_id) for every strictly-intersecting
+    pair, each exactly once."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from .. import cells as cellmod
+    from ..util import default_npartitions, hash_rollup
+
+    nx, ny = cellmod.ncols(res), cellmod.nrows(res)
+
+    def explode_q(b: pa.Table) -> pa.Table:
+        qid = b.column("qid").to_numpy(zero_copy_only=False)
+        cols = {c: b.column(c).to_numpy(zero_copy_only=False)
+                for c in ("qminx", "qminy", "qmaxx", "qmaxy")}
+        out = {"cell": [], "qid": [], "qminx": [], "qminy": [],
+               "qmaxx": [], "qmaxy": []}
+        for i in range(len(qid)):
+            cov = cellmod.covering(cols["qminx"][i], cols["qminy"][i],
+                                   cols["qmaxx"][i], cols["qmaxy"][i], res)
+            out["cell"].append(cov)
+            for c in ("qminx", "qminy", "qmaxx", "qmaxy"):
+                out[c].append(np.full(len(cov), cols[c][i]))
+            out["qid"].append(np.full(len(cov), qid[i], dtype=np.int64))
+        t = pa.table({
+            "cell": pa.array(np.concatenate(out["cell"]) if out["cell"]
+                             else np.array([], dtype=np.int64)),
+            "qid": pa.array(np.concatenate(out["qid"]) if out["qid"]
+                            else np.array([], dtype=np.int64)),
+            **{c: pa.array(np.concatenate(out[c]) if out[c]
+                           else np.array([], dtype=np.float64))
+               for c in ("qminx", "qminy", "qmaxx", "qmaxy")},
+        })
+        return t.append_column("side", pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)))
+
+    # rect side: small here (admin fixtures) but exploded the same way —
+    # the shape is symmetric, so neither side ever needs to fit anywhere
+    rows = {"cell": [], "osm_id": [], "minx": [], "miny": [],
+            "maxx": [], "maxy": []}
+    for r in rects.to_pylist():
+        cov = cellmod.covering(r["minx"], r["miny"], r["maxx"], r["maxy"],
+                               res)
+        rows["cell"].append(cov)
+        rows["osm_id"].append(np.array([r["osm_id"]] * len(cov),
+                                       dtype=object))
+        for c in ("minx", "miny", "maxx", "maxy"):
+            rows[c].append(np.full(len(cov), r[c]))
+    rect_t = pa.table({
+        "cell": pa.array(np.concatenate(rows["cell"])),
+        "osm_id": pa.array(np.concatenate(rows["osm_id"]).tolist(),
+                           pa.string()),
+        **{c: pa.array(np.concatenate(rows[c]))
+           for c in ("minx", "miny", "maxx", "maxy")},
+    })
+
+    def rect_side(b: pa.Table) -> pa.Table:
+        qn = pa.nulls(b.num_rows, pa.int64())
+        fn = pa.nulls(b.num_rows, pa.float64())
+        return pa.table({
+            "cell": b["cell"], "qid": qn,
+            "qminx": fn, "qminy": fn, "qmaxx": fn, "qmaxy": fn,
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "osm_id": b["osm_id"], "minx": b["minx"], "miny": b["miny"],
+            "maxx": b["maxx"], "maxy": b["maxy"],
+        })
+
+    def q_side_pad(b: pa.Table) -> pa.Table:
+        sn = pa.nulls(b.num_rows, pa.string())
+        fn = pa.nulls(b.num_rows, pa.float64())
+        return pa.table({
+            "cell": b["cell"], "qid": b["qid"],
+            "qminx": b["qminx"], "qminy": b["qminy"],
+            "qmaxx": b["qmaxx"], "qmaxy": b["qmaxy"],
+            "side": b["side"],
+            "osm_id": sn, "minx": fn, "miny": fn, "maxx": fn, "maxy": fn,
+        })
+
+    tagged = queries.map_batches(explode_q, batch_format="pyarrow") \
+        .map_batches(q_side_pad, batch_format="pyarrow") \
+        .union(rd.from_arrow(rect_t)
+               .map_batches(rect_side, batch_format="pyarrow"))
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "osm_id": pd.Series([], dtype=object)})
+        q = g.loc[g["side"] == 0,
+                  ["cell", "qid", "qminx", "qminy", "qmaxx", "qmaxy"]]
+        r = g.loc[g["side"] == 1,
+                  ["cell", "osm_id", "minx", "miny", "maxx", "maxy"]]
+        if q.empty or r.empty:
+            return empty
+        m = q.merge(r, on="cell")
+        if m.empty:
+            return empty
+        # strict interval overlap on both axes
+        ok = (m["qminx"].to_numpy() < m["maxx"].to_numpy()) & \
+             (m["qmaxx"].to_numpy() > m["minx"].to_numpy()) & \
+             (m["qminy"].to_numpy() < m["maxy"].to_numpy()) & \
+             (m["qmaxy"].to_numpy() > m["miny"].to_numpy())
+        m = m[ok]
+        if m.empty:
+            return empty
+        # report-once: this cell must be the lowest covering cell of the
+        # intersection bbox (floor of its min corner, clamped like
+        # cells.covering)
+        iminx = np.maximum(m["qminx"].to_numpy(), m["minx"].to_numpy())
+        iminy = np.maximum(m["qminy"].to_numpy(), m["miny"].to_numpy())
+        ix0 = np.clip(np.floor((iminx + 180.0) / 360.0 * nx),
+                      0, nx - 1).astype(np.int64)
+        iy0 = np.clip(np.floor((iminy + 90.0) / 180.0 * ny),
+                      0, ny - 1).astype(np.int64)
+        rep = cellmod.pack(res, ix0, iy0)
+        m = m[m["cell"].to_numpy() == rep]
+        return pd.DataFrame({"doc_id": m["qid"].to_numpy(dtype=np.int64),
+                             "osm_id": m["osm_id"].to_numpy()})
+
+    return hash_rollup(tagged, ["cell"], join_part,
+                       npartitions=npartitions)

@@ -323,3 +323,46 @@ class TestZonalStats:
         want = int(jr["level2_id"].notna().sum())
         assert int(got["n_docs"].sum()) == want > 0
         assert (got["sum_chars"] > 0).all()
+
+
+class TestRectJoin:
+    def test_matches_oracle(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e.queries()["rect_join"](SF).to_pandas()
+        _cmp(got, e.oracle_sql()["rect_join"], ["doc_id", "osm_id"])
+        assert len(got) > 0
+
+    def test_report_once_no_duplicates(self, ray_session):
+        """A pair sharing many covering cells must be emitted exactly once
+        (the report-once trick), including pairs whose overlap spans
+        multiple cells (4-degree boxes over 0.176-degree cells always do)."""
+        import __ray_entry__ as e
+
+        got = e.queries()["rect_join"](SF).to_pandas()
+        assert not got.duplicated(["doc_id", "osm_id"]).any()
+
+    def test_brute_force_equality(self, ray_session):
+        import __ray_entry__ as e
+        import numpy as np
+
+        from posm_ray.sources import boundaries as bsrc, synth
+
+        got = e.queries()["rect_join"](SF).to_pandas()
+        pairs = set(map(tuple, got[["doc_id", "osm_id"]]
+                        .itertuples(index=False)))
+        did = _con().execute(
+            f"SELECT doc_id FROM documents WHERE doc_id % "
+            f"{e._RECT_JOIN_MOD} = 0").df()["doc_id"].to_numpy()
+        lat, lon = synth.derive_lat(did), synth.derive_lon(did)
+        h = e._RECT_HALF
+        want = set()
+        for r in bsrc.iter_clean():
+            if r["adminlevel"] != 2:
+                continue
+            minx, miny, maxx, maxy = r["bbox"]
+            hit = ((lon - h < maxx) & (lon + h > minx)
+                   & (lat - h < maxy) & (lat + h > miny))
+            for d in did[hit]:
+                want.add((int(d), r["osm_id"]))
+        assert pairs == want
