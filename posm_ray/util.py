@@ -106,7 +106,13 @@ def list_to_matrix(col, dtype=None) -> "np.ndarray":
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
-        return np.empty((0, 0), dtype=dtype or np.float64)
+        # preserve the row width where the TYPE still carries it — a
+        # (0, 0) result silently loses D and downstream reshapes/offset
+        # arithmetic break (the r4 driver ZeroDivisionError, VERDICT #1);
+        # variable-width list types don't encode D, so 0 is the honest
+        # answer there and callers must special-case empty batches
+        w = col.type.list_size if pa.types.is_fixed_size_list(col.type) else 0
+        return np.empty((0, w), dtype=dtype or np.float64)
     if col.null_count:  # nulls can't view as a dense matrix
         return np.asarray(col.to_pylist(), dtype=dtype)
     if pa.types.is_fixed_size_list(col.type):

@@ -9,7 +9,7 @@ class TestEmbeddingDupsLsh:
         from posm_ray.pipelines import vectors
 
         brute = vectors.embedding_dups("/root/testdata/sf0.001").to_pandas()
-        lsh = vectors.embedding_dups_lsh("/root/testdata/sf0.001")
+        lsh = vectors.embedding_dups_lsh("/root/testdata/sf0.001").to_pandas()
         b = set(map(tuple, brute[["a", "b"]].itertuples(index=False)))
         l = set(map(tuple, lsh[["a", "b"]].itertuples(index=False)))
         assert l <= b            # the exact in-bucket verify admits no FPs
@@ -22,8 +22,10 @@ class TestEmbeddingDupsLsh:
     def test_deterministic(self, ray_session):
         from posm_ray.pipelines import vectors
 
-        a = vectors.embedding_dups_lsh("/root/testdata/sf0.001")
-        b = vectors.embedding_dups_lsh("/root/testdata/sf0.001")
+        a = vectors.embedding_dups_lsh("/root/testdata/sf0.001") \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        b = vectors.embedding_dups_lsh("/root/testdata/sf0.001") \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         assert a.equals(b)
 
 

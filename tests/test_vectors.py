@@ -268,3 +268,64 @@ class TestKmeans:
             return tot
 
         assert inertia(3) <= inertia(1)
+
+
+class TestNoisyEmbeddingsSmallBlocks:
+    """Regression for the round-4 driver crash (VERDICT r4 #1): the driver
+    harness reads 8-row blocks, so _inject regularly sees a batch with NO
+    vec_id % 13/17 == 0 row; the empty filter used to lose the list width
+    ((0, 0) matrix) and _flat_list_col's step-0 arange raised
+    ZeroDivisionError, killing semantic_dedup / embedding_dups /
+    embedding_dups_lsh."""
+
+    def test_inject_empty_filter_pure_arrow(self):
+        """No Ray needed: an 8-row batch with no divisible vec_id must
+        round-trip through _inject (both eps paths) with the input schema."""
+        import pyarrow as pa
+
+        from posm_ray.pipelines import vectors
+
+        emb = [[0.1] * 4, [0.2] * 4] * 4
+        t = pa.table({
+            "vec_id": pa.array(list(range(8, 16)), pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+        })
+        for mod, eps in [(17, vectors.NEAR_EPS), (13, 0.0)]:
+            # vec_ids 8..15 contain 13 multiples? 13 yes — drop it for the
+            # truly-empty case
+            t2 = t.filter(pa.compute.not_equal(t["vec_id"], 13))
+            out = vectors._inject(t2, mod, 1_000_000, eps)
+            if mod == 17:
+                assert out.num_rows == 0
+                assert out.schema.equals(t2.schema)
+        full = vectors._explode(t)
+        # 8 base rows + one %13 row (13) + no %17 rows
+        assert full.num_rows == 9
+        assert full.schema.field("embedding").type.equals(
+            t.schema.field("embedding").type)
+
+    def test_list_to_matrix_empty_preserves_fixed_width(self):
+        import pyarrow as pa
+
+        from posm_ray.util import list_to_matrix
+
+        col = pa.array([], pa.list_(pa.float32(), 4))
+        m = list_to_matrix(col, np.float32)
+        assert m.shape == (0, 4)
+        var = pa.array([], pa.list_(pa.float32()))
+        assert list_to_matrix(var, np.float32).shape == (0, 0)
+
+    def test_explode_over_8_row_blocks_matches_sql(self, ray_session):
+        """Map the explode over driver-sized blocks and pin counts + ids
+        against the SQL twin — the exact failing shape from r4."""
+        import ray.data as rd
+
+        from posm_ray.pipelines import vectors
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = ds.map_batches(vectors._explode, batch_format="pyarrow",
+                             batch_size=8).to_pandas()
+        want = _con().execute(vectors.NOISY_EMBEDDINGS_SQL).df()
+        assert len(out) == len(want)
+        assert sorted(out["vec_id"]) == sorted(want["vec_id"])
