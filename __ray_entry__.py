@@ -296,35 +296,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Dict ORDER is the driver-visibility rotation (COVERAGE.md §rotation):
     the correctness driver checks roughly the FIRST 50 entries in dict
     order per round, so entries are ranked by how stale their last driver
-    check is — (1) queries whose latest driver row is round 2 (they fell
-    out of the round-3 window; the round-3 verdict's rotation rule: every
-    query's latest green row should be ≤1 round old), (2) queries whose
-    implementation changed in round 4 (geo quantization, simhash cap,
-    embedding zero-copy path, resumable oracle) plus the stable
-    flagship/boundary core, (3) queries green in r3 and untouched since
-    (re-verified locally each round via jobs/check_oracles.py)."""
+    check is — round 5: (1) the twelve queries whose latest driver row is
+    round 2 (demoted from the r4 window, scheduled then to lead r5),
+    (2) everything whose implementation changed in round 5 (the embedding
+    empty-block crash fix: semantic_dedup/embedding_dups/+lsh; the
+    knn_geo_sharded int64-dtype fix; the vectorized PIPJoin hierarchy
+    check touching the flagship/boundary core; the tile_pyramid /
+    approx_distinct_domains perf work), (3) the r3-green tail so no row
+    goes >2 rounds stale, (4) r4-green untouched — re-verified locally
+    via jobs/check_oracles.py."""
     return {
-        # -- (0) NEW in round 4 — never driver-checked ----------------------
+        # -- (1) last driver row in round 2 — lead the r5 window -----------
+        "noisy_documents": textops.noisy_documents,
+        "quality_quartiles": textops.quality_quartiles,
+        "lang_quality": textops.lang_quality,
+        "fingerprints": textops.fingerprints,
+        "media_frames": _q_media_frames,
+        "media_embed": _q_media_embed,
+        "ancestry": _q_ancestry,
+        "top_tokens": textops.top_tokens,
+        "quality_scores": textops.quality_scores,
+        "pii_redact": textops.pii_redact,
+        "repetition_stats": textops.repetition_stats,
+        "tfidf_terms": textops.tfidf_terms,
+        # -- (2) changed in round 5 -----------------------------------------
+        # embedding trio: r4 red (empty-block ZeroDivisionError, fixed)
+        "semantic_dedup": vectors.semantic_dedup,
+        "embedding_dups": vectors.embedding_dups,
+        "embedding_dups_lsh": vectors.embedding_dups_lsh,
+        # r3+r4 red: float64 dtype drift from an empty concat frame, fixed
+        "knn_geo_sharded": _q_knn_sharded,
+        # same module (stages/knn.py) touched
+        "knn_geo": _q_knn_geo,
+        "geo_radius_join": _q_geo_radius,
+        "geo_radius_join_bucketed": _q_geo_radius_bucketed,
+        "ann_cosine": _q_ann_cosine,
+        "ann_cosine_lsh": vectors.ann_lsh,
+        "ann_cosine_ivf": vectors.ann_ivf,
+        "kmeans_embeddings": vectors.kmeans_embeddings,
+        # flagship/boundary core (PIPJoin hierarchy check vectorized)
+        "pip_join_rows": _q_join_rows,
+        "tiles_r7": _q_tiles,
+        "resumable_tiles": _q_resumable_tiles,
+        "drill_down": _q_drill_down,
+        "boundary_hierarchy": _q_boundary_hierarchy,
+        "boundary_discards": _q_boundary_discards,
+        "boundary_problems": _q_boundary_problems,
+        "boundary_from_text": _q_boundary_from_text,
+        # perf-bisect targets this round
+        "tile_pyramid": _q_tile_pyramid,
+        "approx_distinct_domains": _q_hll_domains,
+        "hll_register_sketch": _q_hll_registers,
+        # -- (3) latest green row is round 3 — keep every row <=2 rounds old
+        "sliding_window": _q_sliding_window,
+        "stratified_sample": relational.stratified_sample,
+        "bloom_unseen": _q_bloom_unseen,
+        "raster_vectorize": _q_raster_vectorize,
+        "surt_keys": _q_surt_keys,
+        "link_graph": _q_link_graph,
+        "pagerank_hosts": _q_pagerank_hosts,
+        "topology_arcs": _q_topology_arcs,
+        "all_geom": _q_all_geom,
+        "simple_admin": _q_simple_admin,
+        "gadm_hierarchy": _q_gadm_hierarchy,
+        "sessionize": _q_sessionize,
+        "asof_prior_click": _q_asof,
+        "value_range_join": _q_range_join,
+        "props_k": _q_props_k,
+        "late_events": _q_late_events,
+        "doc_sample": relational.doc_sample,
+        "s2_covering": _q_s2_covering,
+        "media_resize": _q_media_resize,
+        "minhash_clusters": _q_minhash_clusters,
+        # -- (4) green in round 4, untouched since (beyond the ~50 window; --
+        #        re-verified locally via jobs/check_oracles.py)
         "bm25_topk": textops.bm25_topk,
         "winnow_fingerprints": textops.winnow_fingerprints,
         "countmin_registers": textops.countmin_registers,
         "heavy_hitters": textops.heavy_hitters,
         "url_revisits": textops.url_revisits,
-        "semantic_dedup": vectors.semantic_dedup,
         "polygon_fill": _q_polygon_fill,
         "host_components": _q_host_components,
         "priority_sample": relational.priority_sample,
         "winnow_dups": textops.winnow_dups,
         "zonal_stats": _q_zonal_stats,
         "rect_join": _q_rect_join,
-        # -- (1) last driver row in round 2 ---------------------------------
-        # (twelve r2-green entries whose kernel/twin family has an
-        #  in-window representative are demoted to group (3) to fit the
-        #  ~50-row window: noisy_documents, quality_quartiles,
-        #  lang_quality, fingerprints, media_frames, media_embed,
-        #  ancestry, top_tokens, quality_scores, pii_redact,
-        #  repetition_stats, tfidf_terms (bm25 kin) — re-verified locally
-        #  via jobs/check_oracles.py and scheduled to LEAD round 5)
         "cell_assign": _q_cell_assign,
         "snap_to_grid": _q_snap_to_grid,
         "token_counts": textops.token_counts,
@@ -339,72 +395,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition": textops.range_partition,
         "cell_majority_label": vectors.cell_majority_label,
         "ngram_jaccard": textops.ngram_jaccard,
-        "embedding_dups": vectors.embedding_dups,
         "rolling_fingerprints": textops.rolling_fingerprints,
-        "ann_cosine": _q_ann_cosine,
         "media_decode": _q_media_decode,
-        "boundary_problems": _q_boundary_problems,
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
         "region_rollup": relational.region_rollup,
         "order_priority": relational.order_priority,
-        # -- (2) changed in round 4 + stable flagship/boundary core --------
-        "knn_geo_sharded": _q_knn_sharded,
-        "knn_geo": _q_knn_geo,
-        "geo_radius_join": _q_geo_radius,
-        "geo_radius_join_bucketed": _q_geo_radius_bucketed,
         "simhash_near_dups": textops.simhash_near_dups,
-        "embedding_dups_lsh": vectors.embedding_dups_lsh,
-        "ann_cosine_lsh": vectors.ann_lsh,
-        "ann_cosine_ivf": vectors.ann_ivf,
-        "kmeans_embeddings": vectors.kmeans_embeddings,
-        "resumable_tiles": _q_resumable_tiles,
-        "pip_join_rows": _q_join_rows,
-        "tiles_r7": _q_tiles,
-        "boundary_hierarchy": _q_boundary_hierarchy,
-        "boundary_discards": _q_boundary_discards,
-        "boundary_from_text": _q_boundary_from_text,
-        # -- (3) green in earlier rounds, untouched since (beyond the ~50 --
-        #        window; re-verified locally via jobs/check_oracles.py).
-        #        The first seven are the r2-green demotions — they lead
-        #        the round-5 window.
-        "noisy_documents": textops.noisy_documents,
-        "quality_quartiles": textops.quality_quartiles,
-        "lang_quality": textops.lang_quality,
-        "fingerprints": textops.fingerprints,
-        "media_frames": _q_media_frames,
-        "media_embed": _q_media_embed,
-        "ancestry": _q_ancestry,
-        "top_tokens": textops.top_tokens,
-        "quality_scores": textops.quality_scores,
-        "pii_redact": textops.pii_redact,
-        "repetition_stats": textops.repetition_stats,
-        "tfidf_terms": textops.tfidf_terms,
-        "drill_down": _q_drill_down,
-        "sliding_window": _q_sliding_window,
-        "stratified_sample": relational.stratified_sample,
-        "bloom_unseen": _q_bloom_unseen,
-        "raster_vectorize": _q_raster_vectorize,
-        "hll_register_sketch": _q_hll_registers,
-        "tile_pyramid": _q_tile_pyramid,
-        "surt_keys": _q_surt_keys,
-        "link_graph": _q_link_graph,
-        "pagerank_hosts": _q_pagerank_hosts,
-        "topology_arcs": _q_topology_arcs,
-        "all_geom": _q_all_geom,
-        "simple_admin": _q_simple_admin,
         "poly_export": _q_poly_export,
-        "gadm_hierarchy": _q_gadm_hierarchy,
-        "sessionize": _q_sessionize,
-        "asof_prior_click": _q_asof,
-        "value_range_join": _q_range_join,
-        "props_k": _q_props_k,
-        "late_events": _q_late_events,
-        "doc_sample": relational.doc_sample,
-        "s2_covering": _q_s2_covering,
-        "media_resize": _q_media_resize,
-        "minhash_clusters": _q_minhash_clusters,
-        "approx_distinct_domains": _q_hll_domains,
         "raster_tiles": _q_raster_tiles,
         "pack_sequences": textops.pack_sequences,
         "mixture_schedule": textops.mixture_schedule,

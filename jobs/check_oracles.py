@@ -64,6 +64,14 @@ for name in names:
             ok_vals = True
             for c in got.columns:
                 a, b = got[c].to_numpy(), want[c].to_numpy()
+                # dtype KIND must match: the driver value-hashes dtypes, so
+                # int64 1 vs float64 1.0 is a red hash even though == says
+                # equal (the r3+r4 knn_geo_sharded red hid here for two
+                # rounds — an empty float64 frame upcast the whole concat)
+                if a.dtype.kind != b.dtype.kind:
+                    ok_vals = False
+                    print(f"  col {c} DTYPE drift: ray={a.dtype} sql={b.dtype}")
+                    continue
                 if np.issubdtype(a.dtype, np.floating):
                     same = np.array_equal(a, b, equal_nan=True)
                 else:

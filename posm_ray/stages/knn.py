@@ -178,13 +178,21 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
 
     sharded = candidates.map_batches(to_shards, batch_format="pyarrow")
 
+    def empty_out() -> pd.DataFrame:
+        # explicit int64: a bare `{"query_id": []}` frame is float64, and
+        # ONE such frame in the concat promotes every column to float64 —
+        # the driver value-hashes dtypes, so float 1.0 vs BIGINT 1 was the
+        # r3+r4 knn_geo_sharded red (rows matched, hash didn't; the local
+        # checker's `==` compare hid it because 1.0 == 1)
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("query_id", "neighbor_id",
+                                       "dist_mm", "rank")})
+
     def per_part(part: pd.DataFrame) -> pd.DataFrame:
         frames = [per_shard(g) for _, g in part.groupby("shard", sort=False)]
+        frames = [f for f in frames if len(f)]
         if not frames:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "dist_mm": pd.Series([], dtype=np.int64),
-                                 "rank": pd.Series([], dtype=np.int64)})
+            return empty_out()
         return pd.concat(frames, ignore_index=True)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -196,8 +204,7 @@ def knn_sharded(candidates, *, k: int = 5, shard_res: int = 2,
         shard = g["shard"].iloc[0]
         owners = g[g["home"] == shard]  # points whose home is this shard
         if len(owners) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [],
-                                 "dist_mm": [], "rank": []})
+            return empty_out()
         order_c = np.argsort(g[id_col].to_numpy(), kind="stable")
         cid = g[id_col].to_numpy()[order_c]
         clat = g["lat"].to_numpy()[order_c]

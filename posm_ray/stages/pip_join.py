@@ -75,6 +75,29 @@ class PIPJoin:
             bt = ray.get(bt_ref)
         self.indexes, self.parent_of = build_level_indexes(bt)
         self.drop_unmatched = drop_unmatched
+        # dictionary-encode the hierarchy ONCE per actor (VERDICT r4 #5):
+        # par1[i] = level-0 index of level-1 polygon i's is_in parent (or
+        # -2), par2 likewise into level 1 — the per-batch consistency check
+        # is then two int array compares instead of a python loop over
+        # string ids (the only row-at-a-time loop on the flagship path).
+        pos0 = {osm: i for i, osm in enumerate(self.indexes[0].ids)}
+        pos1 = {osm: i for i, osm in enumerate(self.indexes[1].ids)}
+        self.par1 = np.array(
+            [pos0.get(self.parent_of.get(osm), -2)
+             for osm in self.indexes[1].ids], dtype=np.int64)
+        self.par2 = np.array(
+            [pos1.get(self.parent_of.get(osm), -2)
+             for osm in self.indexes[2].ids], dtype=np.int64)
+        # ids + trailing None so a -1 miss fancy-indexes to null
+        self.vals = {
+            lv: np.array(self.indexes[lv].ids + [None], dtype=object)
+            for lv in LEVELS
+        }
+
+    def _id_col(self, lv: int, idx: np.ndarray) -> pa.Array:
+        miss = len(self.indexes[lv].ids)
+        return pa.array(self.vals[lv][np.where(idx >= 0, idx, miss)],
+                        pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
@@ -82,29 +105,22 @@ class PIPJoin:
         finite = np.isfinite(lat) & np.isfinite(lon)
         qlat = np.where(finite, lat, 0.0)
         qlon = np.where(finite, lon, 0.0)
-        l0 = self.indexes[0].query_points(qlat, qlon)
-        l1 = self.indexes[1].query_points(qlat, qlon)
-        l2 = self.indexes[2].query_points(qlat, qlon)
-        l0[~finite] = ""
+        i0 = self.indexes[0].query_points_idx(qlat, qlon)
+        i1 = self.indexes[1].query_points_idx(qlat, qlon)
+        i2 = self.indexes[2].query_points_idx(qlat, qlon)
+        i0[~finite] = -1
         # hierarchy consistency: child kept only under its joined parent
-        pmap = self.parent_of
-        l1 = np.array(
-            [s if s and pmap.get(s, None) == c else "" for s, c in zip(l1, l0)],
-            dtype=object,
-        )
-        l2 = np.array(
-            [d if d and pmap.get(d, None) == s else "" for d, s in zip(l2, l1)],
-            dtype=object,
-        )
-        out = batch.append_column(
-            "level0_id", pa.array([x if x else None for x in l0], pa.string())
-        )
-        out = out.append_column(
-            "level1_id", pa.array([x if x else None for x in l1], pa.string())
-        )
-        out = out.append_column(
-            "level2_id", pa.array([x if x else None for x in l2], pa.string())
-        )
+        if len(self.par1):
+            ok1 = (i1 >= 0) & (i0 >= 0) & \
+                (self.par1[np.maximum(i1, 0)] == i0)
+            i1 = np.where(ok1, i1, -1)
+        if len(self.par2):
+            ok2 = (i2 >= 0) & (i1 >= 0) & \
+                (self.par2[np.maximum(i2, 0)] == i1)
+            i2 = np.where(ok2, i2, -1)
+        out = batch.append_column("level0_id", self._id_col(0, i0))
+        out = out.append_column("level1_id", self._id_col(1, i1))
+        out = out.append_column("level2_id", self._id_col(2, i2))
         if self.drop_unmatched:
             import pyarrow.compute as pc
 

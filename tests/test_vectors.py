@@ -153,6 +153,11 @@ class TestKnnSharded:
             "doc_id": did, "lat": lat, "lon": lon}))
         shard_res = 2
         out = knn.knn_sharded(pts, k=3, shard_res=shard_res).to_pandas()
+        # dtype regression (r3+r4 driver red): an empty float64 frame in
+        # the per-shard concat used to upcast EVERY column to float64 —
+        # the driver value-hashes dtypes, so int64 must survive end-to-end
+        for c in ("query_id", "neighbor_id", "dist_mm", "rank"):
+            assert out[c].dtype == np.int64, (c, out[c].dtype)
         by_q = {q: g.sort_values("rank")["neighbor_id"].tolist()
                 for q, g in out.groupby("query_id")}
         width_deg = cells.cell_width_deg(shard_res)
