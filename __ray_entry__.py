@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.repetition_stats,
         "tfidf_terms": textops.tfidf_terms,
         # -- (2) changed in round 5 -----------------------------------------
+        # NEW in round 5: product-quantization ANN (integer-exact ADC
+        # shortlist + exact-cosine rerank; third ANN scale path)
+        "ann_cosine_pq": vectors.ann_pq,
         # embedding trio: r4 red (empty-block ZeroDivisionError, fixed)
         "semantic_dedup": vectors.semantic_dedup,
         "embedding_dups": vectors.embedding_dups,
@@ -1805,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         # assignment + ranking replayed exactly (vectors.py §SQL twins)
         "ann_cosine_lsh": vectors.ann_lsh_oracle_sql(),
         "ann_cosine_ivf": vectors.ann_ivf_oracle_sql(),
+        "ann_cosine_pq": vectors.ann_pq_oracle_sql(),
         "embedding_dups_lsh": vectors.embedding_dups_lsh_oracle_sql(),
         "topology_arcs": _topology_arcs_sql(),
         # round-4 additions

@@ -360,6 +360,102 @@ def ann_ivf(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 6):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+_PQ_M = 8          # subspaces over the 64-dim embedding (8 dims each)
+_PQ_KSUB = 16      # codes per subspace -> 8 bytes per encoded vector
+_PQ_SHORTLIST = 20
+
+
+def ann_pq(sf_dir: str, k: int = 5, m: int = _PQ_M, ksub: int = _PQ_KSUB,
+           shortlist: int = _PQ_SHORTLIST):
+    """Product-quantization ANN: first 16 vectors as queries, codebook =
+    sub-vectors of the first ``ksub`` embeddings (the train_iters=0
+    convention). Candidate scoring is the ADC lookup-table sum with
+    INTEGER-quantized weights (knn.PQ_ADC_SCALE), so the shortlist
+    boundary is bit-exact across engines; the shortlist is re-ranked by
+    exact cosine. The SQL twin (:func:`ann_pq_oracle_sql`) replays encode,
+    LUT, integer ADC sum, shortlist and rerank, so this is hash-checked.
+    Reference analogue: none (posm has no vector ops) — this is the graft
+    surface's third ANN scale path; at corpus scale the encoded table is
+    ``m`` bytes/vector vs 4*D raw (here 8 vs 256)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..stages import knn
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 16)
+    queries = {
+        "id": head["vec_id"].to_numpy(),
+        "mat": np.asarray(head["embedding"].to_pylist(), dtype=np.float64),
+    }
+    return knn.ann_cosine_pq(emb, queries, k=k, m=m, ksub=ksub,
+                             shortlist=shortlist)
+
+
+def ann_pq_oracle_sql(k: int = 5, m: int = _PQ_M, ksub: int = _PQ_KSUB,
+                      shortlist: int = _PQ_SHORTLIST) -> str:
+    """Exact replay of :func:`ann_pq`. Float hazards and why they don't
+    bite: (a) encode argmin — list_distance vs numpy squared-L2 are
+    monotonic images of each other, ties (identical sub-vectors) break by
+    code index on both sides; (b) the ADC sum — integer after the
+    per-entry FLOOR(dot * 2^20), so partial-sum order cannot matter (the
+    per-entry dot is an 8-term product sum; a cross-engine ulp flips the
+    floor only within ~1e-9 of an integer boundary); (c) the final rank —
+    float cosine, the same accepted contract as the LSH/IVF/exact twins."""
+    from ..stages.knn import PQ_ADC_SCALE
+
+    dsub = _EMB_DIM // m
+    return f"""
+WITH ss AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, {m})),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings ORDER BY vec_id LIMIT {ksub}),
+cb AS (
+  SELECT ss.s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY ss.s ORDER BY b.vec_id) - 1
+              AS BIGINT) AS c,
+         list_slice(b.v, ss.s * {dsub} + 1, ss.s * {dsub} + {dsub}) AS vec
+  FROM base b CROSS JOIN ss),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+enc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT e.vec_id, cb.s, cb.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.s
+             ORDER BY list_distance(
+               list_slice(e.v, cb.s * {dsub} + 1, cb.s * {dsub} + {dsub}),
+               cb.vec), cb.c) AS rn
+    FROM e CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings ORDER BY vec_id LIMIT 16),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.c,
+         CAST(FLOOR(list_dot_product(
+           list_slice(q.v, cb.s * {dsub} + 1, cb.s * {dsub} + {dsub}),
+           cb.vec) * {PQ_ADC_SCALE}) AS BIGINT) AS w
+  FROM q CROSS JOIN cb),
+adc AS (
+  SELECT l.query_id, n.vec_id AS neighbor_id, SUM(l.w) AS score
+  FROM enc n JOIN lut l ON l.s = n.s AND l.c = n.c
+  WHERE n.vec_id <> l.query_id
+  GROUP BY l.query_id, n.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {shortlist})
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT sh.query_id, sh.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY sh.query_id
+           ORDER BY list_cosine_similarity(eq.embedding, en.embedding)
+                    DESC, sh.neighbor_id) AS rank
+  FROM short sh
+  JOIN embeddings eq ON eq.vec_id = sh.query_id
+  JOIN embeddings en ON en.vec_id = sh.neighbor_id)
+WHERE rank <= {k}
+"""
+
+
 def cell_majority_label(sf_dir: str, *, cell_col: str = "cell_r7",
                         npartitions: int | None = None):
     """Geo × vector-table fusion: the majority embedding label per tile

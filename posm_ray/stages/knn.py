@@ -466,6 +466,122 @@ def ann_cosine_ivf(embeddings, queries: dict, *, k: int = 5, nlist: int = 16,
                        npartitions=None)
 
 
+# integer quantum for the ADC lookup-table weights: floor(dot * 2^20).
+# Integer partial scores make the PQ shortlist boundary EXACT across
+# engines (BIGINT sums are associative; float sums are not) — the repo's
+# integer-scaled-sum rule (relational.py) applied to ANN.
+PQ_ADC_SCALE = 1 << 20
+
+
+def ann_cosine_pq(embeddings, queries: dict, *, k: int = 5, m: int = 8,
+                  ksub: int = 16, shortlist: int = 20,
+                  codebook: np.ndarray | None = None):
+    """Product-quantization ANN (third scale path next to LSH/IVF): split
+    the D dims into ``m`` subspaces, quantize every candidate sub-vector to
+    its nearest of ``ksub`` codebook entries (L2, lowest code index on
+    ties), score candidates with the asymmetric-distance trick — per query
+    a tiny (m, ksub) lookup table of INTEGER-quantized sub-dots, candidate
+    score = sum of m table entries — take the top-``shortlist`` by
+    (score DESC, id ASC), then re-rank the shortlist by EXACT cosine.
+
+    Scale shape: the codebook is m*ksub*(D/m) floats (broadcast once, KB);
+    candidates stream through one map_batches (encode -> integer gather ->
+    partial top-shortlist) — the 100-TB memory win is that a PQ-encoded
+    corpus is m bytes/vector (here 8 vs 256), so a re-scan or a cached
+    code table is ~30x smaller than the raw embeddings; the only exchange
+    is the per-query merge of shortlist rows. The shortlist boundary is
+    integer-exact (see PQ_ADC_SCALE), so the SQL twin
+    (vectors.ann_pq_oracle_sql) replays it bit-for-bit; only the final
+    within-shortlist cosine rank is float, same contract as the
+    LSH/IVF/exact siblings.
+
+    ``codebook=None`` trains nothing: codes are the sub-vectors of the
+    first ``ksub`` embeddings (by vec_id) — fully deterministic and SQL
+    replayable, the train_iters=0 convention of :func:`ann_cosine_ivf`."""
+    import ray
+
+    from ..util import hash_rollup
+
+    qmat = queries["mat"].astype(np.float64)
+    dim = qmat.shape[1]
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+
+    if codebook is None:
+        head = embeddings.limit(ksub).to_pandas() \
+            .sort_values("vec_id").head(ksub)
+        base = np.asarray(list(head["embedding"]), dtype=np.float64)
+        codebook = base.reshape(len(base), m, dsub) \
+            .transpose(1, 0, 2).copy()  # (m, ksub, dsub)
+
+    ctx = ray.put({"qid": np.asarray(queries["id"], dtype=np.int64),
+                   "qmat": qmat, "codebook": codebook,
+                   "m": m, "ksub": ksub, "dsub": dsub,
+                   "R": shortlist, "k": k})
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(ctx) if not isinstance(ctx, dict) else ctx
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = list_to_matrix(batch.column("embedding"), np.float64)
+        cb = c["codebook"]  # (m, ksub, dsub)
+        mm, kk, dd = c["m"], cb.shape[1], c["dsub"]
+        # per-query integer LUT: floor(scale * <q_sub, code>)
+        lut = np.floor(PQ_ADC_SCALE * np.einsum(
+            "qsd,scd->qsc", c["qmat"].reshape(-1, mm, dd), cb)) \
+            .astype(np.int64)                       # (Q, m, ksub)
+        sub = emb.reshape(-1, mm, dd)               # (B, m, dsub)
+        # encode: nearest code per (row, subspace); argmin takes the
+        # LOWEST code index on exact ties (mirrors the twin's ORDER BY
+        # dist, c) — squared L2, monotonic with the twin's list_distance
+        d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2)                   # (B, m)
+        # ADC gather: score[q, b] = sum_s lut[q, s, codes[b, s]]
+        scores = lut[:, np.arange(mm)[None, :], codes].sum(axis=2)  # (Q, B)
+        qn = c["qmat"] / np.maximum(
+            np.linalg.norm(c["qmat"], axis=1, keepdims=True), 1e-12)
+        nrm = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        out_q, out_n, out_sc, out_cos = [], [], [], []
+        for qi in range(len(c["qid"])):
+            keep = vid != c["qid"][qi]              # exclude self
+            if not keep.any():
+                continue
+            s = scores[qi][keep]
+            rr = min(c["R"], len(s))
+            idx = np.lexsort((vid[keep], -s))[:rr]  # tie-deterministic
+            cand = np.nonzero(keep)[0][idx]
+            cos = qn[qi] @ (emb[cand] / nrm[cand]).T
+            out_q.append(np.full(rr, c["qid"][qi], dtype=np.int64))
+            out_n.append(vid[cand])
+            out_sc.append(s[idx])
+            out_cos.append(cos)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "score": pa.array(np.concatenate(out_sc)),
+                         "cosine": pa.array(np.concatenate(out_cos))})
+
+    partial = embeddings.map_batches(per_batch, batch_format="pyarrow",
+                                     batch_size=4096, zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # global shortlist on the INTEGER score, then exact-cosine rerank
+        g = g.sort_values(["query_id", "score", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("query_id", sort=False).head(shortlist)
+        g = g.sort_values(["query_id", "cosine", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = (g.groupby("query_id", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return hash_rollup(partial, ["query_id"], merge, npartitions=None)
+
+
 # ---------------------------------------------------------------------------
 # radius join (geofencing)
 # ---------------------------------------------------------------------------

@@ -132,6 +132,51 @@ class TestAnnIvf:
         assert a.equals(b)
 
 
+class TestAnnPq:
+    def test_matches_oracle(self, ray_session):
+        """The integer-exact shortlist + rerank replays bit-for-bit in
+        DuckDB (the driver contract, pinned here at sf0.001)."""
+        from posm_ray.pipelines import vectors
+
+        got = vectors.ann_pq(SF).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        want = _con().execute(vectors.ann_pq_oracle_sql()).df() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        for c in ("query_id", "neighbor_id", "rank"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_recall_vs_exact(self, ray_session):
+        """PQ top-1 (8 subspaces x 16 codes, shortlist 20, exact rerank)
+        must recover most exact top-1s on the plain corpus."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from posm_ray.pipelines import vectors
+        from posm_ray.stages import knn
+
+        head = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 16)
+        queries = {"id": head["vec_id"].to_numpy(),
+                   "mat": np.asarray(head["embedding"].to_pylist(),
+                                     dtype=np.float64)}
+        emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+        exact = knn.ann_cosine_exact(emb, queries, k=1).to_pandas()
+        approx = vectors.ann_pq(SF, k=1).to_pandas()
+        e1 = dict(zip(exact["query_id"], exact["neighbor_id"]))
+        a1 = dict(zip(approx["query_id"], approx["neighbor_id"]))
+        hits = sum(1 for q in e1 if a1.get(q) == e1[q])
+        assert hits / len(e1) >= 0.6
+
+    def test_deterministic(self, ray_session):
+        from posm_ray.pipelines import vectors
+
+        a = vectors.ann_pq(SF, k=3).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        b = vectors.ann_pq(SF, k=3).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
+
+
 class TestKnnSharded:
     def test_agrees_with_exact_within_halo(self, ray_session):
         """knn_sharded is exact for neighbors within one shard-cell width
