@@ -321,8 +321,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": textops.tfidf_terms,
         # -- (2) changed in round 5 -----------------------------------------
         # NEW in round 5: product-quantization ANN (integer-exact ADC
-        # shortlist + exact-cosine rerank; third ANN scale path)
+        # shortlist + exact-cosine rerank; third ANN scale path), and the
+        # REAL media codecs (pure-python PNG + stdlib WAV)
         "ann_cosine_pq": vectors.ann_pq,
+        "media_real_decode": _q_media_real_decode,
+        "media_real_resize": _q_media_real_resize,
         # embedding trio: r4 red (empty-block ZeroDivisionError, fixed)
         "semantic_dedup": vectors.semantic_dedup,
         "embedding_dups": vectors.embedding_dups,
@@ -1048,6 +1051,98 @@ FROM documents
 """
 
 
+def _q_media_real_decode(sf_dir: str):
+    """REAL-codec decode (round 5): genuine PNG/WAV bytes (zlib-deflated
+    filtered scanlines / RIFF PCM) decoded by the pure-python codec in an
+    actor pool. Hash-checked: the oracle computes the encoded gradient's
+    pixel/sample sums in closed form from doc_id — the Ray side can only
+    match by correctly inflating + unfiltering the actual bytes."""
+    from posm_ray.stages import multimodal as mm
+
+    return mm.real_decoded_media(mm.real_media_table(sf_dir))
+
+
+def _media_real_decode_sql() -> str:
+    # twin of multimodal.make_real_payload: pixel(x+y*W) = (i + d) % 256,
+    # sample(i) = (i*(d+1)) % 4096 - 2048 — closed forms over a series
+    return """
+WITH nums AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 560)),
+img AS (
+  SELECT doc_id, CAST(8 + doc_id % 8 AS BIGINT) AS w,
+         CAST(8 + doc_id % 5 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 2 = 0),
+imgsum AS (
+  SELECT i.doc_id, i.w, i.h, SUM((n.x + i.doc_id) % 256) AS s
+  FROM img i JOIN nums n ON n.x < i.w * i.h
+  GROUP BY i.doc_id, i.w, i.h),
+wav AS (
+  SELECT doc_id, CAST(64 + (doc_id % 32) * 16 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 2 = 1),
+wavsum AS (
+  SELECT w.doc_id, w.n,
+         SUM(ABS((nm.x * (w.doc_id + 1)) % 4096 - 2048)) AS s
+  FROM wav w JOIN nums nm ON nm.x < w.n
+  GROUP BY w.doc_id, w.n)
+SELECT doc_id, 'png' AS kind, w AS width, h AS height,
+       CAST(0 AS BIGINT) AS n_samples, CAST(0 AS BIGINT) AS sample_rate,
+       CAST(s AS BIGINT) AS pixel_sum
+FROM imgsum
+UNION ALL
+SELECT doc_id, 'wav' AS kind, 0, 0, n, 16000, CAST(s AS BIGINT)
+FROM wavsum
+"""
+
+
+def _q_media_real_resize(sf_dir: str):
+    """REAL resize (round 5): PNG decode -> integer-rule nearest-neighbor
+    downsample into an 8x8 box -> RE-ENCODE -> re-decode, so the encoder
+    sits inside the hash-checked loop; WAV passthrough."""
+    from posm_ray.stages import multimodal as mm
+
+    return mm.real_resized_media(mm.real_media_table(sf_dir))
+
+
+def _media_real_resize_sql() -> str:
+    # integer NN rule: mx = max(w,h); nw = max(1, w*8 // mx) when mx > 8;
+    # resized pixel (xx, yy) = ((xx*w // nw) + (yy*h // nh)*w + d) % 256
+    return """
+WITH xy AS (SELECT CAST(range AS BIGINT) AS v FROM range(0, 8)),
+img AS (
+  SELECT doc_id, CAST(8 + doc_id % 8 AS BIGINT) AS w,
+         CAST(8 + doc_id % 5 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 2 = 0),
+dims AS (
+  SELECT doc_id, w, h,
+         CASE WHEN GREATEST(w, h) <= 8 THEN w
+              ELSE GREATEST(1, w * 8 // GREATEST(w, h)) END AS nw,
+         CASE WHEN GREATEST(w, h) <= 8 THEN h
+              ELSE GREATEST(1, h * 8 // GREATEST(w, h)) END AS nh
+  FROM img),
+imgsum AS (
+  SELECT d.doc_id, d.nw, d.nh,
+         SUM(((xx.v * d.w // d.nw) + (yy.v * d.h // d.nh) * d.w + d.doc_id)
+             % 256) AS s
+  FROM dims d
+  JOIN xy xx ON xx.v < d.nw
+  JOIN xy yy ON yy.v < d.nh
+  GROUP BY d.doc_id, d.nw, d.nh),
+wav AS (
+  SELECT doc_id, CAST(64 + (doc_id % 32) * 16 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 2 = 1),
+nums AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 560)),
+wavsum AS (
+  SELECT w.doc_id, SUM(ABS((nm.x * (w.doc_id + 1)) % 4096 - 2048)) AS s
+  FROM wav w JOIN nums nm ON nm.x < w.n
+  GROUP BY w.doc_id)
+SELECT doc_id, 'png' AS kind, nw AS width, nh AS height,
+       CAST(s AS BIGINT) AS pixel_sum
+FROM imgsum
+UNION ALL
+SELECT doc_id, 'wav' AS kind, 0, 0, CAST(s AS BIGINT)
+FROM wavsum
+"""
+
+
 def _q_media_frames(sf_dir: str):
     """Video frame sampling (flat_map explode, every 4th frame)."""
     from posm_ray.stages import multimodal as mm
@@ -1770,6 +1865,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _pagerank_hosts_sql(),
         "embedding_dups": vectors.EMBEDDING_DUPS_SQL,
         "media_decode": _media_decode_sql(),
+        "media_real_decode": _media_real_decode_sql(),
+        "media_real_resize": _media_real_resize_sql(),
         "media_frames": _media_frames_sql(),
         "gadm_hierarchy": _gadm_sql(),
         "sessionize": _events_sessionize_sql(),

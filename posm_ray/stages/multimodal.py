@@ -1,13 +1,21 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed by actor-pool map_batches stages.
 
-The graft mandate: the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is REAL and tested; the codec itself is stubbed
-because no image/audio libraries exist in this environment. Each decode
-actor probes for the real library in ``__init__`` (once per actor — the
-model-load slot); absent, it uses a deterministic fake codec over a
-self-describing payload header, and ``require_real_codec=True`` raises
-NotImplementedError to mark the boundary explicitly.
+TWO codec tiers (round 5):
+
+* **REAL codecs** — PNG (pure-python/numpy zlib+filter codec,
+  ``functions/png.py``, validated against external-encoder files) and
+  16-bit PCM WAV (stdlib ``wave``). ``real_media_table`` synthesizes
+  genuine PNG/WAV payloads; ``RealMediaDecode`` / the PNG branch of
+  ``MediaResize`` inflate + unfilter + (re)encode actual bytes. The
+  driver queries ``media_real_decode`` / ``media_real_resize`` are
+  hash-checked: the oracle knows the encoded gradient in closed form,
+  so the Ray side only matches if the zlib/filter decode is correct.
+* **Deterministic fake** — the PMM1 header format below, kept for the
+  formats no library here can read (JPEG/MP4/...). Each decode actor
+  resolves its codec in ``__init__`` (once per actor — the model-load
+  slot); ``require_real_codec=True`` raises NotImplementedError only
+  for those genuinely-unavailable formats.
 
 Payload format (synthesized deterministically from doc_id):
   magic(4) | media_type(1) | width(u16) | height(u16) | n_frames(u16) |
@@ -81,6 +89,150 @@ def media_table(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec table + decode (PNG / WAV)
+# ---------------------------------------------------------------------------
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 8, 8 + doc_id % 5  # (W, H), <= 15 x 12
+
+
+def _wav_len(doc_id: int) -> int:
+    return 64 + (doc_id % 32) * 16
+
+
+def make_real_payload(doc_id: int) -> tuple[str, bytes]:
+    """(kind, payload): even doc_ids -> a REAL PNG of the gradient
+    pixel(x, y) = (x + y*W + doc_id) % 256 (grey); odd -> a REAL 16-bit
+    PCM WAV with sample[i] = ((i*(doc_id+1)) % 4096) - 2048 at 16 kHz.
+    Both are integer closed forms, so the decode oracle can compute the
+    expected pixel/sample sums in SQL without ever touching bytes."""
+    from ..functions import png as pngmod
+
+    if doc_id % 2 == 0:
+        w, h = _png_dims(doc_id)
+        img = ((np.arange(w * h, dtype=np.int64) + doc_id) % 256) \
+            .astype(np.uint8).reshape(h, w)
+        return "png", pngmod.encode_png(img)
+    n = _wav_len(doc_id)
+    s = ((np.arange(n, dtype=np.int64) * (doc_id + 1)) % 4096 - 2048) \
+        .astype(np.int16)
+    return "wav", pngmod.encode_wav(s, 16000)
+
+
+def real_media_table(sf_dir: str):
+    """documents -> (doc_id, kind, payload) with REAL PNG/WAV bytes."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_ = batch.column("doc_id").to_pylist()
+        rows = [make_real_payload(int(i)) for i in ids_]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "kind": pa.array([k for k, _ in rows], pa.string()),
+            "payload": pa.array([p for _, p in rows], pa.binary()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+class RealMediaDecode:
+    """Actor-pool decode of REAL formats: PNG -> (width, height,
+    pixel_sum); WAV -> (n_samples, sample_rate, pixel_sum = sum |amp|).
+    All sums are BIGINT so the closed-form SQL twin is bit-exact. Raises
+    on any byte-level corruption — decode errors must surface, not
+    silently zero (DiscardFeatureWriter would route them in a pipeline)."""
+
+    def __init__(self):
+        from ..functions import png as pngmod
+
+        self.png = pngmod  # codec resolved once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        width = np.zeros(n, np.int64)
+        height = np.zeros(n, np.int64)
+        nsamp = np.zeros(n, np.int64)
+        rate = np.zeros(n, np.int64)
+        psum = np.zeros(n, np.int64)
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            if self.png.is_png(p):
+                img = self.png.decode_png(p)
+                height[i], width[i] = img.shape[0], img.shape[1]
+                psum[i] = int(img.astype(np.int64).sum())
+            elif self.png.is_wav(p):
+                arr, r = self.png.decode_wav(p)
+                nsamp[i], rate[i] = arr.shape[0], r
+                psum[i] = int(np.abs(arr.astype(np.int64)).sum())
+            else:
+                raise ValueError("unknown real-media payload")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "kind": batch["kind"],
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "n_samples": pa.array(nsamp),
+            "sample_rate": pa.array(rate),
+            "pixel_sum": pa.array(psum),
+        })
+
+
+RESIZE_CAP = 8  # real-resize target box (integer-exact rule below)
+
+
+class RealMediaResize:
+    """Actor-pool REAL resize: PNG payloads decode -> nearest-neighbor
+    downsample into a ``cap`` x ``cap`` box -> RE-ENCODE -> re-decode (the
+    encoder is inside the verified loop, not just the decoder); WAV rows
+    pass through with their decode features. The NN rule is integer-only
+    (no float scale factor, so the SQL twin replays it exactly):
+
+        mx = max(w, h); if mx <= cap: unchanged
+        else nw = max(1, w*cap // mx), nh = max(1, h*cap // mx)
+        src column of xx = xx*w // nw, src row of yy = yy*h // nh
+    """
+
+    def __init__(self, cap: int = RESIZE_CAP):
+        from ..functions import png as pngmod
+
+        self.png = pngmod
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        width = np.zeros(n, np.int64)
+        height = np.zeros(n, np.int64)
+        psum = np.zeros(n, np.int64)
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            if self.png.is_png(p):
+                img = self.png.decode_png(p)
+                h, w = img.shape[0], img.shape[1]
+                mx = max(w, h)
+                if mx > self.cap:
+                    nw = max(1, w * self.cap // mx)
+                    nh = max(1, h * self.cap // mx)
+                    xs = (np.arange(nw, dtype=np.int64) * w) // nw
+                    ys = (np.arange(nh, dtype=np.int64) * h) // nh
+                    img = img[ys][:, xs]
+                rt = self.png.decode_png(self.png.encode_png(img))
+                height[i], width[i] = rt.shape[0], rt.shape[1]
+                psum[i] = int(rt.astype(np.int64).sum())
+            elif self.png.is_wav(p):
+                arr, _ = self.png.decode_wav(p)
+                psum[i] = int(np.abs(arr.astype(np.int64)).sum())
+            else:
+                raise ValueError("unknown real-media payload")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "kind": batch["kind"],
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "pixel_sum": pa.array(psum),
+        })
 
 
 class MediaDecode:
@@ -186,6 +338,23 @@ def frame_sample(ds, every_k: int = 4):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def real_decoded_media(ds, *, concurrency=None, batch_size: int = 64):
+    """real media Dataset -> REAL-codec decode actor pool."""
+    return ds.map_batches(
+        RealMediaDecode, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency if concurrency is not None else default_pool())
+
+
+def real_resized_media(ds, *, cap: int = RESIZE_CAP, concurrency=None,
+                       batch_size: int = 64):
+    """real media Dataset -> REAL resize (decode -> NN -> re-encode)."""
+    return ds.map_batches(
+        RealMediaResize, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True, fn_constructor_kwargs={"cap": cap},
+        concurrency=concurrency if concurrency is not None else default_pool())
 
 
 def decoded_media(ds, *, concurrency=None, batch_size: int = 64,
