@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_pq": vectors.ann_pq,
         "media_real_decode": _q_media_real_decode,
         "media_real_resize": _q_media_real_resize,
+        "dup_spans": textops.dup_spans,
         # embedding trio: r4 red (empty-block ZeroDivisionError, fixed)
         "semantic_dedup": vectors.semantic_dedup,
         "embedding_dups": vectors.embedding_dups,
@@ -1867,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": _media_decode_sql(),
         "media_real_decode": _media_real_decode_sql(),
         "media_real_resize": _media_real_resize_sql(),
+        "dup_spans": textops.dup_spans_sql(),
         "media_frames": _media_frames_sql(),
         "gadm_hierarchy": _gadm_sql(),
         "sessionize": _events_sessionize_sql(),

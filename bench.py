@@ -157,6 +157,7 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     timed("media_real_decode", lambda: qs["media_real_decode"](sf_dir))
     timed("media_real_resize", lambda: qs["media_real_resize"](sf_dir))
     timed("ann_cosine_pq", lambda: qs["ann_cosine_pq"](sf_dir))
+    timed("dup_spans", lambda: qs["dup_spans"](sf_dir))
     timed("resumable_tiles", lambda: qs["resumable_tiles"](sf_dir))
     timed("sessionize", lambda: qs["sessionize"](sf_dir))
     timed("late_events", lambda: qs["late_events"](sf_dir))

@@ -752,6 +752,121 @@ SELECT lang, token, n, rank FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 
 CHUNK_WORDS = 8
+DUP_SPAN_L = 24  # minimum duplicated-substring length (chars)
+
+
+def dup_spans(sf_dir: str, *, L: int = DUP_SPAN_L,
+              npartitions: int | None = None):
+    """Exact substring-span dedup (round 5): every MAXIMAL character span
+    covered by length-``L`` substrings that occur in >= 2 DISTINCT docs of
+    the noisy corpus — the cross-document duplicated-span finder of
+    suffix-array training-data dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"), re-shaped for Ray Data as two
+    streaming exchanges instead of a global suffix array:
+
+      1. explode each doc into its (gram, doc_id, pos) L-gram rows →
+         hash exchange on GRAM → per-partition vectorized filter to
+         grams seen in >= 2 distinct docs (emit their positions);
+      2. exchange the surviving (doc_id, pos) rows on DOC → one
+         vectorized gaps-and-islands merge per partition (spans break
+         where pos > prev_pos + L) → (doc_id, span_start, span_len).
+
+    Everything is integer/string-exact (no floats anywhere), so the SQL
+    twin (:func:`dup_spans_sql`) hash-matches bit-for-bit. Scale shape:
+    both exchanges are linear in total grams with no pair blow-up (a
+    gram duplicated across D docs ships D position rows, never D^2
+    pairs); at corpus scale the gram key would ship as the 8-byte
+    Karp-Rabin hash with a residual-collision confirm pass — here the
+    string key keeps the oracle exact. Positions are 1-based to match
+    SQL ``substr``. Output: one row per maximal duplicated span."""
+    from ..util import hash_rollup
+
+    ds = noisy_documents(sf_dir)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids_ = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_d, out_p, out_g = [], [], []
+        for did, t in zip(ids_, texts):
+            n = len(t)
+            if n < L:
+                continue
+            k = n - L + 1
+            out_d.append(np.full(k, did, dtype=np.int64))
+            out_p.append(np.arange(1, k + 1, dtype=np.int64))
+            out_g.extend(t[i:i + L] for i in range(k))
+        if not out_d:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({"gram": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "pos": pa.array(np.concatenate(out_p))})
+
+    def crossdoc(g: pd.DataFrame) -> pd.DataFrame:
+        # grams present in >= 2 distinct docs; one transform, no loop
+        nuniq = g.groupby("gram", sort=False)["doc_id"].transform("nunique")
+        return g.loc[nuniq >= 2, ["doc_id", "pos"]]
+
+    hits = hash_rollup(ds.map_batches(grams, batch_format="pyarrow"),
+                       ["gram"], crossdoc, npartitions=npartitions)
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "span_start": pd.Series([], dtype="int64"),
+                                 "span_len": pd.Series([], dtype="int64")})
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        did = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        brk = np.empty(len(g), dtype=bool)
+        brk[0] = True
+        brk[1:] = (did[1:] != did[:-1]) | (pos[1:] > pos[:-1] + L)
+        grp = np.cumsum(brk) - 1
+        starts = np.zeros(grp[-1] + 1, dtype=np.int64)
+        ends = np.zeros(grp[-1] + 1, dtype=np.int64)
+        docs = np.zeros(grp[-1] + 1, dtype=np.int64)
+        starts[grp[brk]] = pos[brk]
+        np.maximum.at(ends, grp, pos + L - 1)
+        docs[grp[brk]] = did[brk]
+        return pd.DataFrame({"doc_id": docs, "span_start": starts,
+                             "span_len": ends - starts + 1})
+
+    return hash_rollup(hits, ["doc_id"], spans, npartitions=npartitions)
+
+
+def dup_spans_sql(L: int = DUP_SPAN_L) -> str:
+    """DuckDB twin of :func:`dup_spans`: same L-gram explode (1-based
+    substr), same >=2-distinct-docs filter, same gaps-and-islands merge
+    (break when pos > prev_pos + L); pure integer/string ops."""
+    return f"""
+WITH noisy AS ({NOISY_DOCUMENTS_SQL}),
+d AS (SELECT doc_id, text, length(text) AS n FROM noisy),
+g AS (
+  SELECT d.doc_id, s.i AS pos, substr(d.text, s.i, {L}) AS gram
+  FROM d, unnest(generate_series(1, d.n - {L} + 1)) AS s(i)
+  WHERE d.n >= {L}),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -{2 * L}) + {L} THEN 1 ELSE 0 END AS brk
+  FROM hits),
+grps AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) + {L} - 1 - MIN(pos) + 1 AS span_len
+FROM grps GROUP BY doc_id, grp
+"""
+
+
 # winner order packs (doc_id, chunk_no) into one int64 so the min-winner
 # reduction is a single Arrow group-min: assumes chunk_no < 2^20 (docs
 # shorter than ~8M words) and doc_id < 2^43 — both document-corpus-safe.

@@ -376,3 +376,54 @@ class TestSimhashBucketCap:
             assert len(got) < m * (m - 1) // 2
         finally:
             dedup.SIMHASH_BUCKET_CAP = old_cap
+
+
+class TestDupSpans:
+    def test_matches_oracle(self, ray_session):
+        """Exact substring-span dedup hash-matches its SQL twin (the
+        driver contract, pinned at sf0.001)."""
+        from posm_ray.pipelines import textops
+
+        got = textops.dup_spans(SF).to_pandas() \
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+        want = _con().execute(textops.dup_spans_sql()).df() \
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        for c in ("doc_id", "span_start", "span_len"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_exact_dup_docs_fully_covered(self, ray_session):
+        """An injected exact copy shares its whole text with the base doc,
+        so its duplicated region must be ONE maximal span covering the
+        full text (start 1, len = doc length)."""
+        import duckdb
+
+        from posm_ray.pipelines import textops
+
+        got = textops.dup_spans(SF).to_pandas()
+        lens = _con().execute(
+            "SELECT doc_id, length(text) AS n FROM documents "
+            f"WHERE doc_id % {textops.EXACT_DUP_MOD} = 0 "
+            f"AND length(text) >= {textops.DUP_SPAN_L}").df()
+        assert len(lens) > 0
+        for _, r in lens.iterrows():
+            copy_id = int(r["doc_id"]) + 1_000_000
+            rows = got[got["doc_id"] == copy_id]
+            assert len(rows) == 1, copy_id
+            assert int(rows["span_start"].iloc[0]) == 1
+            assert int(rows["span_len"].iloc[0]) == int(r["n"])
+
+    def test_spans_are_maximal_and_disjoint(self, ray_session):
+        """No two spans of one doc touch or overlap (maximality): the next
+        span starts strictly after prev_end + 1."""
+        from posm_ray.pipelines import textops
+
+        got = textops.dup_spans(SF).to_pandas() \
+            .sort_values(["doc_id", "span_start"])
+        prev_doc, prev_end = None, None
+        for _, r in got.iterrows():
+            if r["doc_id"] == prev_doc:
+                assert int(r["span_start"]) > prev_end + 1
+            prev_doc, prev_end = r["doc_id"], int(r["span_start"]) \
+                + int(r["span_len"]) - 1
+            assert int(r["span_len"]) >= textops.DUP_SPAN_L
