@@ -228,6 +228,49 @@ GROUP BY level2_id
 """
 
 
+def _q_focal_sum(sf_dir: str):
+    """3x3 focal-sum raster convolution over the per-cell doc-count raster
+    (stages.tiles.focal_sum — the zonal/focal GIS pair's focal half).
+    Source is every geocoded page's cell_r7 (same source as cell_assign);
+    the convolution itself runs on the aggregated raster, never rows."""
+    from posm_ray.stages import extract as extract_stage
+    from posm_ray.stages import tiles as tiles_stage
+
+    pages = synth.read_pages(sf_dir)
+    return tiles_stage.focal_sum(
+        extract_stage.extracted_pages(pages, slim=True))
+
+
+def _focal_sum_sql(res: int = 7) -> str:
+    # Twin of stages.tiles.focal_sum: the same per-cell counts, the same
+    # 9-offset scatter (lon wraps via +nx before %, lat edges filter), the
+    # same integer sums. SUM over BIGINT is HUGEINT in DuckDB -> cast back.
+    nx, ny = 1 << (res + 7), 1 << (res + 6)
+    mask = (1 << 24) - 1
+    offs = ", ".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH c AS (
+  SELECT {cells.cell_sql(synth.lat_sql(), synth.lon_sql(), res)} AS cell,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY 1
+),
+off AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+scat AS (
+  SELECT (CAST({res} AS BIGINT) << 48)
+         | (((((c.cell >> 24) & {mask}) + o.dx + {nx}) % {nx}) << 24)
+         | ((c.cell & {mask}) + o.dy) AS cell,
+         c.cnt AS cnt,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN c.cnt ELSE 0 END AS center_cnt
+  FROM c CROSS JOIN off o
+  WHERE (c.cell & {mask}) + o.dy BETWEEN 0 AND {ny - 1}
+)
+SELECT cell, CAST(SUM(center_cnt) AS BIGINT) AS center_count,
+       CAST(SUM(cnt) AS BIGINT) AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_contrib
+FROM scat GROUP BY cell
+"""
+
+
 def _q_polygon_fill(sf_dir: str):
     """Vector->raster polygon rasterization of the county fixtures
     (stages.tiles.polygon_fill; the boundary fixture is sf-independent —
@@ -327,6 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_decode": _q_media_real_decode,
         "media_real_resize": _q_media_real_resize,
         "dup_spans": textops.dup_spans,
+        # NEW in round 5: focal statistics (3x3 raster convolution over the
+        # per-cell doc-count raster — the zonal/focal GIS pair's focal half)
+        "focal_sum": _q_focal_sum,
         # embedding trio: r4 red (empty-block ZeroDivisionError, fixed)
         "semantic_dedup": vectors.semantic_dedup,
         "embedding_dups": vectors.embedding_dups,
@@ -1922,6 +1968,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": relational.priority_sample_sql(),
         "winnow_dups": textops.winnow_dups_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        "focal_sum": _focal_sum_sql(),
         "rect_join": _rect_join_sql(),
         # Intentionally omitted (rows-only checks): poly_export (DuckDB's
         # printf('%.6E') rounds half-boundary mantissas differently from C
