@@ -373,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW in round 5: focal statistics (3x3 raster convolution over the
         # per-cell doc-count raster — the zonal/focal GIS pair's focal half)
         "focal_sum": _q_focal_sum,
+        # NEW in round 5: mergeable log2-histogram quantile sketch
+        # (HdrHistogram family; langs x 64 registers at any corpus size)
+        "log_quantiles": textops.log_quantiles,
         # embedding trio: r4 red (empty-block ZeroDivisionError, fixed)
         "semantic_dedup": vectors.semantic_dedup,
         "embedding_dups": vectors.embedding_dups,
@@ -1896,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": textops.curation_pipeline_sql(),
         "unigram_surprisal": textops.unigram_surprisal_sql(),
         "counting_median": textops.COUNTING_MEDIAN_SQL,
+        "log_quantiles": textops.LOG_QUANTILES_SQL,
         "dedup_incremental": textops.DEDUP_EXACT_SQL,
         "range_partition": textops.range_partition_sql(),
         "cell_majority_label": _cell_majority_label_sql(),

@@ -1819,6 +1819,90 @@ FROM r WHERE rnk = (n + 1) // 2
 """
 
 
+def log_quantiles(sf_dir: str):
+    """Mergeable log2-histogram quantile sketch (the HdrHistogram /
+    DDSketch family): per-lang approximate p50/p90/p99 of document length
+    via power-of-two buckets — ``bucket = bit_length(n_chars)``, reported
+    value the bucket lower bound ``2^(bucket-1)``, relative error <= 2x by
+    construction. Completes the quantile family: ``counting_median`` is
+    exact but needs a BOUNDED value domain, ``percentile_gate`` is exact
+    but ships one histogram row per distinct value; the log sketch's
+    register count is <= langs x 64 AT ANY SCALE and any value domain —
+    the shape production latency/size monitoring uses at 10^12 rows.
+
+    Determinism/exactness of the sketch itself: the bucket function is
+    integer-exact on BOTH engines — numpy ``frexp`` exponents (exact for
+    ints < 2^53) == python ``int.bit_length`` == DuckDB
+    ``length(bin(x))`` — and quantile ranks are ``ceil(q*n)`` in pure
+    integer arithmetic, so the twin is hash-checked, not rows-only.
+
+    Scale shape: per-block (lang, bucket) Arrow pre-counts (the perfect
+    combiner — bounded rows per block), ONE tiny hash exchange on lang,
+    vectorized per-lang cumulative-rank readout. Output
+    (lang, n_docs, p50_lb, p90_lb, p99_lb), all BIGINT."""
+    import ray.data as rd
+
+    from ..util import hash_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        bits = np.frexp(np.maximum(x, 1).astype(np.float64))[1]
+        t = pa.table({"lang": batch["lang"],
+                      "bucket": pa.array(bits.astype(np.int64), pa.int64())})
+        g = pa.TableGroupBy(t, ["lang", "bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "bucket", "cnt"])
+
+    partials = ds.map_batches(hist, batch_format="pyarrow")
+
+    def readout(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["lang", "bucket"], sort=False)["cnt"].sum() \
+            .reset_index().sort_values(["lang", "bucket"], kind="mergesort")
+        rows = []
+        for lang, sub in g.groupby("lang", sort=False):
+            cum = sub["cnt"].to_numpy(dtype=np.int64).cumsum()
+            n = int(cum[-1])
+            buckets = sub["bucket"].to_numpy(dtype=np.int64)
+            lbs = []
+            for num, den in ((1, 2), (9, 10), (99, 100)):
+                rank = (n * num + den - 1) // den  # ceil(q*n), integer
+                b = int(buckets[np.searchsorted(cum, rank)])
+                lbs.append(1 << (b - 1))
+            rows.append((lang, n, *lbs))
+        return pd.DataFrame(rows, columns=["lang", "n_docs", "p50_lb",
+                                           "p90_lb", "p99_lb"])
+
+    return hash_rollup(partials, ["lang"], readout, npartitions=4)
+
+
+LOG_QUANTILES_SQL = """
+WITH h AS (
+  SELECT lang, length(bin(greatest(n_chars, 1))) AS bucket, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+c AS (
+  SELECT lang, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2
+                THEN CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER) END)
+            AS BIGINT) AS p50_lb,
+       CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10
+                THEN CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER) END)
+            AS BIGINT) AS p90_lb,
+       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+                THEN CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER) END)
+            AS BIGINT) AS p99_lb
+FROM c GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup (state merge — no rescan of the old corpus)
 # ---------------------------------------------------------------------------
