@@ -197,6 +197,8 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     timed("priority_sample", lambda: relational.priority_sample(sf_dir))
     timed("winnow_dups", lambda: textops.winnow_dups(sf_dir))
     timed("zonal_stats", lambda: qs["zonal_stats"](sf_dir))
+    timed("focal_sum", lambda: qs["focal_sum"](sf_dir))
+    timed("log_quantiles", lambda: qs["log_quantiles"](sf_dir))
     timed("rect_join", lambda: qs["rect_join"](sf_dir))
     return timings, steals
 
